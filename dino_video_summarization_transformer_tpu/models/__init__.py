@@ -1,0 +1,37 @@
+from .timesformer import (
+    TimeSformerConfig,
+    config_from_cfg,
+    forward,
+    forward_features,
+    init_timesformer,
+    vit_base_config,
+    vit_small_config,
+    vit_tiny_config,
+)
+from .heads import (
+    dino_head_forward,
+    init_dino_head,
+    init_linear_classifier,
+    init_multi_dino_head,
+    linear_classifier_forward,
+    multi_dino_head_forward,
+)
+from . import convert
+
+__all__ = [
+    "TimeSformerConfig",
+    "config_from_cfg",
+    "forward",
+    "forward_features",
+    "init_timesformer",
+    "vit_base_config",
+    "vit_small_config",
+    "vit_tiny_config",
+    "dino_head_forward",
+    "init_dino_head",
+    "init_linear_classifier",
+    "init_multi_dino_head",
+    "linear_classifier_forward",
+    "multi_dino_head_forward",
+    "convert",
+]

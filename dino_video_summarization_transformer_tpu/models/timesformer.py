@@ -1,0 +1,454 @@
+"""TimeSformer / SVT backbone, TPU-native.
+
+Functional JAX re-design of the reference's divided space-time attention
+Vision Transformer (ref: models/timesformer.py:55-364). Design departures
+from the PyTorch original, chosen for XLA/TPU:
+
+* Parameters are a pytree of arrays; the 12 blocks are *stacked* along a
+  leading depth axis and executed with ``lax.scan`` so the block body is
+  traced/compiled once and weights stream HBM->VMEM block by block.
+* Patch embedding is a patchify-reshape + single MXU matmul instead of a
+  Conv2d (ref: models/timesformer.py:188-209 uses Conv2d 16x16 stride 16,
+  which is exactly a matmul over non-overlapping patches).
+* All attention is batched dense MHSA over short sequences (<=197 spatial
+  tokens, <=96 temporal positions); softmax statistics are computed in
+  float32 regardless of compute dtype.
+* Positional/time embeddings are interpolated with exact
+  ``torch.nn.functional.interpolate(mode='nearest')`` index semantics so
+  checkpoints evaluated at other frame counts / crop sizes bit-match the
+  reference (ref: models/timesformer.py:292-323).
+
+Token layout matches the reference exactly: ``[CLS, (h w t)...]`` where the
+flat spatial-temporal index is ``(h*W + w)*T + t``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeSformerConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    num_frames: int = 8
+    num_classes: int = 400
+    attention_type: str = "divided_space_time"  # | space_only | joint_space_time
+    drop_path_rate: float = 0.1
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    norm_eps: float = 1e-6
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+
+def vit_base_config(**kw) -> TimeSformerConfig:
+    """ViT-B/16 (ref: models/timesformer.py:592-609)."""
+    return TimeSformerConfig(embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def vit_small_config(**kw) -> TimeSformerConfig:
+    return TimeSformerConfig(embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_tiny_config(**kw) -> TimeSformerConfig:
+    return TimeSformerConfig(embed_dim=192, depth=12, num_heads=3, **kw)
+
+
+def config_from_cfg(cfg, no_head: bool = False) -> TimeSformerConfig:
+    """Build from the CfgNode tree (ref: models/timesformer.py:592-601)."""
+    return TimeSformerConfig(
+        img_size=cfg.DATA.TRAIN_CROP_SIZE,
+        num_classes=0 if no_head else cfg.MODEL.NUM_CLASSES,
+        num_frames=cfg.DATA.NUM_FRAMES,
+        attention_type=cfg.TIMESFORMER.ATTENTION_TYPE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    """Truncated normal on [-2std, 2std] (ref: models/vit_utils.py trunc_normal_)."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def _linear_init(key, fan_in, fan_out, std=0.02, bias=True):
+    kkey, _ = jax.random.split(key)
+    p = {"kernel": _trunc_normal(kkey, (fan_in, fan_out), std)}
+    if bias:
+        p["bias"] = jnp.zeros((fan_out,))
+    return p
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def init_timesformer(rng: jax.Array, cfg: TimeSformerConfig) -> Params:
+    """Initialize parameters (ref: models/timesformer.py:215-263).
+
+    Blocks are stacked along a leading depth axis. ``temporal_fc`` is
+    zero-initialized for blocks > 0 per the reference's zero-init rule
+    (ref: models/timesformer.py:254-263); block 0 keeps its trunc-normal
+    init, reproducing the reference's exact quirk.
+    """
+    D, L = cfg.embed_dim, cfg.depth
+    keys = jax.random.split(rng, 8)
+
+    def block_init(key):
+        ks = jax.random.split(key, 6)
+        p = {
+            "norm1": _ln_init(D),
+            "attn": {
+                "qkv": _linear_init(ks[0], D, 3 * D, bias=cfg.qkv_bias),
+                "proj": _linear_init(ks[1], D, D),
+            },
+            "norm2": _ln_init(D),
+            "mlp": {
+                "fc1": _linear_init(ks[2], D, int(D * cfg.mlp_ratio)),
+                "fc2": _linear_init(ks[3], int(D * cfg.mlp_ratio), D),
+            },
+        }
+        if cfg.attention_type == "divided_space_time":
+            p["temporal_norm1"] = _ln_init(D)
+            p["temporal_attn"] = {
+                "qkv": _linear_init(ks[4], D, 3 * D, bias=cfg.qkv_bias),
+                "proj": _linear_init(ks[5], D, D),
+            }
+            p["temporal_fc"] = _linear_init(ks[5], D, D)
+        return p
+
+    block_keys = jax.random.split(keys[0], L)
+    blocks = jax.vmap(block_init)(block_keys)
+
+    if cfg.attention_type == "divided_space_time":
+        # zero temporal_fc for blocks > 0 (ref: models/timesformer.py:254-263)
+        mask = jnp.arange(L) > 0
+        tf = blocks["temporal_fc"]
+        blocks["temporal_fc"] = {
+            "kernel": jnp.where(mask[:, None, None], 0.0, tf["kernel"]),
+            "bias": jnp.where(mask[:, None], 0.0, tf["bias"]),
+        }
+
+    params = {
+        "cls_token": _trunc_normal(keys[1], (1, 1, D)),
+        "pos_embed": _trunc_normal(keys[2], (1, cfg.num_patches + 1, D)),
+        "patch_embed": {
+            "proj": _linear_init(
+                keys[3], cfg.patch_size * cfg.patch_size * cfg.in_chans, D
+            )
+        },
+        "blocks": blocks,
+        "norm": _ln_init(D),
+    }
+    if cfg.attention_type != "space_only":
+        params["time_embed"] = jnp.zeros((1, cfg.num_frames, D))
+    if cfg.num_classes > 0:
+        params["head"] = _linear_init(keys[4], D, cfg.num_classes)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def layer_norm(p, x, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def linear(p, x):
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def mhsa(p, x, num_heads: int, deterministic: bool = True):
+    """Dense multi-head self-attention (ref: models/timesformer.py:55-87).
+
+    Sequences here are short (<=197 spatial, <=96 temporal) so a dense
+    softmax(QK^T)V with float32 statistics is already MXU-bound; the Pallas
+    fused path in ops/attention.py is used for the batched scoring pipeline.
+    """
+    B, N, C = x.shape
+    H = num_heads
+    hd = C // H
+    qkv = linear(p["qkv"], x).reshape(B, N, 3, H, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,H,hd)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    scale = hd ** -0.5
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    return linear(p["proj"], out)
+
+
+def mlp(p, x):
+    # torch nn.GELU default is the exact erf form
+    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+
+
+def _drop_path(rng, x, rate):
+    """Per-sample stochastic depth (ref: models/vit_utils.py DropPath)."""
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
+# ---------------------------------------------------------------------------
+# Block
+# ---------------------------------------------------------------------------
+
+def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
+    """Divided space-time attention block (ref: models/timesformer.py:116-185).
+
+    x: (B, 1 + H*W*T, D), token layout [CLS, (h w t)].
+    """
+    D = x.shape[-1]
+    N = H * W
+
+    def dp(r, y):
+        if rng is None or drop_path_rate == 0.0:
+            return y
+        return _drop_path(r, y, drop_path_rate)
+
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
+    # --- temporal attention over T per spatial location -------------------
+    xt = x[:, 1:, :].reshape(B * N, T, D)
+    res_t = mhsa(p["temporal_attn"], layer_norm(p["temporal_norm1"], xt), num_heads)
+    res_t = dp(rngs[0], res_t.reshape(B, N * T, D))
+    res_t = linear(p["temporal_fc"], res_t)
+    xt = x[:, 1:, :] + res_t  # (B, N*T, D)
+
+    # --- spatial attention over (CLS + H*W) per frame ----------------------
+    init_cls = x[:, :1, :]  # (B,1,D)
+    cls_rep = jnp.broadcast_to(init_cls, (B, T, D)).reshape(B * T, 1, D)
+    # 'b (h w t) m -> (b t) (h w) m'
+    xs = xt.reshape(B, N, T, D).transpose(0, 2, 1, 3).reshape(B * T, N, D)
+    xs = jnp.concatenate([cls_rep, xs], axis=1)  # (B*T, 1+N, D)
+    res_s = mhsa(p["attn"], layer_norm(p["norm1"], xs), num_heads)
+    res_s = dp(rngs[1], res_s)
+
+    # cls averaged over frames (ref: models/timesformer.py:161-164)
+    cls_out = res_s[:, 0, :].reshape(B, T, D).mean(axis=1, keepdims=True)
+    # '(b t) (h w) m -> b (h w t) m'
+    res_sp = (
+        res_s[:, 1:, :].reshape(B, T, N, D).transpose(0, 2, 1, 3).reshape(B, N * T, D)
+    )
+
+    x = jnp.concatenate([init_cls, xt], axis=1) + jnp.concatenate(
+        [cls_out, res_sp], axis=1
+    )
+    x = x + dp(rngs[2], mlp(p["mlp"], layer_norm(p["norm2"], x)))
+    return x
+
+
+def joint_block(p, x, num_heads, drop_path_rate=0.0, rng=None):
+    """space_only / joint_space_time block (ref: models/timesformer.py:120-123)."""
+    def dp(r, y):
+        if rng is None or drop_path_rate == 0.0:
+            return y
+        return _drop_path(r, y, drop_path_rate)
+
+    rngs = jax.random.split(rng, 2) if rng is not None else (None,) * 2
+    x = x + dp(rngs[0], mhsa(p["attn"], layer_norm(p["norm1"], x), num_heads))
+    x = x + dp(rngs[1], mlp(p["mlp"], layer_norm(p["norm2"], x)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Embedding helpers
+# ---------------------------------------------------------------------------
+
+def patch_embed(p, x, patch_size: int):
+    """Patchify + matmul == Conv2d k=s=patch (ref: models/timesformer.py:203-209).
+
+    x: (BT, H, W, C) channels-last frames. Returns (BT, H/ps*W/ps, D).
+    """
+    BT, H, W, C = x.shape
+    ps = patch_size
+    gh, gw = H // ps, W // ps
+    x = x.reshape(BT, gh, ps, gw, ps, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(BT, gh * gw, ps * ps * C)
+    return linear(p["proj"], x)
+
+
+def interp_nearest_1d(src: jnp.ndarray, out_len: int, axis: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') exact index rule: floor(i*in/out)."""
+    in_len = src.shape[axis]
+    idx = jnp.floor(jnp.arange(out_len) * (in_len / out_len)).astype(jnp.int32)
+    return jnp.take(src, idx, axis=axis)
+
+
+def resize_pos_embed(pos_embed: jnp.ndarray, n_tokens: int, W: int) -> jnp.ndarray:
+    """Nearest-resize of spatial pos embeddings, reproducing the reference's
+    exact (quirky) geometry (ref: models/timesformer.py:292-303): the target
+    grid is (n_tokens // W, W) where n_tokens counts the CLS token.
+    """
+    cls_pe = pos_embed[:, :1, :]
+    other = pos_embed[0, 1:, :]  # (P*P, D)
+    P = int(math.isqrt(other.shape[0]))
+    D = other.shape[1]
+    H_new = n_tokens // W
+    grid = other.reshape(P, P, D)
+    grid = interp_nearest_1d(grid, H_new, axis=0)
+    grid = interp_nearest_1d(grid, W, axis=1)
+    new = grid.reshape(1, H_new * W, D)
+    return jnp.concatenate([cls_pe, new], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward_features(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: TimeSformerConfig,
+    *,
+    get_all: bool = False,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Backbone forward (ref: models/timesformer.py:285-345).
+
+    x: (B, C, T, H, W) to match the reference's calling convention.
+    Returns (B, D) CLS features, or (B, 1+N*T, D) when ``get_all``.
+    """
+    B, C, T, Himg, Wimg = x.shape
+    ps = cfg.patch_size
+    W = Wimg // ps
+    H = Himg // ps
+    N = H * W
+    D = cfg.embed_dim
+
+    x = x.astype(compute_dtype)
+    frames = x.transpose(0, 2, 3, 4, 1).reshape(B * T, Himg, Wimg, C)
+    tok = patch_embed(params["patch_embed"], frames, ps)  # (BT, N, D)
+
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(compute_dtype), (B * T, 1, D)
+    )
+    xt = jnp.concatenate([cls, tok], axis=1)  # (BT, 1+N, D)
+
+    pe = params["pos_embed"]
+    if xt.shape[1] != pe.shape[1]:
+        pe = resize_pos_embed(pe, xt.shape[1], W)
+    xt = xt + pe.astype(compute_dtype)
+
+    if cfg.attention_type != "space_only":
+        cls_tok = xt[:B, :1, :]  # identical across frames pre-mixing
+        spat = xt[:, 1:, :]  # (BT, N, D)
+        # '(b t) n m -> (b n) t m'
+        spat = spat.reshape(B, T, N, D).transpose(0, 2, 1, 3).reshape(B * N, T, D)
+        te = params["time_embed"]
+        if T != te.shape[1]:
+            te = interp_nearest_1d(te, T, axis=1)
+        spat = spat + te.astype(compute_dtype)
+        # '(b n) t m -> b (n t) m'
+        spat = spat.reshape(B, N * T, D)
+        x = jnp.concatenate([cls_tok, spat], axis=1)  # (B, 1+N*T, D)
+    else:
+        x = xt  # (BT, 1+N, D)
+
+    # --- stacked blocks under lax.scan -------------------------------------
+    dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+    use_dp = train and cfg.drop_path_rate > 0.0 and rng is not None
+    block_rngs = (
+        jax.random.split(rng, cfg.depth) if use_dp else jnp.zeros((cfg.depth, 2), jnp.uint32)
+    )
+
+    if cfg.attention_type == "divided_space_time":
+
+        def body(carry, scanned):
+            bp, rate, brng = scanned
+            y = divided_block(
+                bp, carry, x.shape[0], T, H, W, cfg.num_heads,
+                drop_path_rate=rate if use_dp else 0.0,
+                rng=brng if use_dp else None,
+            )
+            return y, None
+
+        x, _ = jax.lax.scan(body, x, (params["blocks"], dpr, block_rngs))
+    else:
+
+        def body(carry, scanned):
+            bp, rate, brng = scanned
+            y = joint_block(
+                bp, carry, cfg.num_heads,
+                drop_path_rate=rate if use_dp else 0.0,
+                rng=brng if use_dp else None,
+            )
+            return y, None
+
+        x, _ = jax.lax.scan(body, x, (params["blocks"], dpr, block_rngs))
+
+    if cfg.attention_type == "space_only":
+        # average per-frame predictions (ref: models/timesformer.py:338-340)
+        x = x.reshape(B, T, x.shape[1], D).mean(axis=1)
+
+    x = layer_norm(params["norm"], x, eps=cfg.norm_eps)
+    if get_all:
+        return x
+    return x[:, 0]
+
+
+def forward(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: TimeSformerConfig,
+    *,
+    use_head: bool = False,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Full forward (ref: models/timesformer.py:347-351)."""
+    feats = forward_features(
+        params, x, cfg, train=train, rng=rng, compute_dtype=compute_dtype
+    )
+    if use_head and "head" in params:
+        feats = linear(params["head"], feats)
+    return feats
+
+
+def get_intermediate_layers(params, x, cfg, n: int = 1, **kw):
+    """(ref: models/timesformer.py:353-355) — returns the final token map."""
+    return [forward_features(params, x, cfg, get_all=True, **kw)]
+
+
+def jit_forward(cfg: TimeSformerConfig, **static_kw):
+    """Convenience: a jitted forward closed over the static config."""
+    return jax.jit(
+        partial(forward, cfg=cfg, **static_kw),
+    )

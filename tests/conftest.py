@@ -1,0 +1,66 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+The reference had no test suite (SURVEY.md section 4); this pyramid uses
+the fake multi-device CPU backend the reference never had.
+"""
+
+import os
+import sys
+
+# Force CPU: the ambient environment pre-sets JAX_PLATFORMS to the TPU
+# tunnel ('axon'), whose default matmul precision is bf16 — unusable for
+# bit-parity unit tests. Benchmarks run on the real chip via bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The config route works even if jax was already imported by a plugin or
+# sitecustomize, as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_ROOT = "/root/reference"
+
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def add_reference_path():
+    """Make the read-only reference importable as a parity oracle.
+
+    The reference's models/__init__.py imports its Swin transformer, which
+    needs `timm` (absent here); stub the two symbols it uses.
+    """
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    if "timm" not in sys.modules:
+        import types
+
+        import torch
+        import torch.nn as nn
+
+        def _trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a * std, b * std)
+            return tensor
+
+        class _DropPath(nn.Identity):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_layers = types.ModuleType("timm.models.layers")
+        timm_layers.DropPath = _DropPath
+        timm_layers.trunc_normal_ = _trunc_normal_
+        timm_layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        timm.models = timm_models
+        timm_models.layers = timm_layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.layers"] = timm_layers
