@@ -1,0 +1,25 @@
+from . import interp, selection, transform, video, windows
+from .datasets import (
+    ClipDataset,
+    DinoLossDataset,
+    FrameSelectionDataset,
+    build_dataset,
+    read_csv_entries,
+)
+from .loader import PrefetchLoader, default_collate, shard_indices
+
+__all__ = [
+    "interp",
+    "selection",
+    "transform",
+    "video",
+    "windows",
+    "ClipDataset",
+    "DinoLossDataset",
+    "FrameSelectionDataset",
+    "build_dataset",
+    "read_csv_entries",
+    "PrefetchLoader",
+    "default_collate",
+    "shard_indices",
+]

@@ -1,0 +1,365 @@
+"""CSV-driven video datasets (Kinetics / UCF101 / HMDB51 / MSVD layouts).
+
+Re-designs of the reference's dataset classes
+(ref: datasets_custom/kinetics.py:22-353, ucf101.py:15-268, hmdb51.py:15-270,
+dino_loss_loader.py:10-123, frame_selection_loader.py:12-218) on top of the
+native libav decode shim. Datasets return numpy; batching/prefetching and
+device upload happen in loader.py / the engine.
+
+Key TPU-driven departure: the scoring dataset returns the decoded frame
+buffer + window *index maps* instead of materialized (2T, 3, 30, 224, 224)
+view stacks — windows are gathered on device (see data/windows.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import selection as sel
+from . import video as vio
+from .transform import (
+    VideoDataAugmentationDINO,
+    get_start_end_idx,
+    spatial_sampling,
+    temporal_sampling,
+    tensor_normalize,
+    uniform_crop,
+)
+from .windows import WindowMismatch, window_indices
+
+
+def read_csv_entries(
+    path_to_file: str, path_prefix: str, separator: str = " ",
+    num_clips: int = 1, mode_subdir: Optional[str] = None,
+) -> Tuple[List[str], List[int]]:
+    """Parse `path label` rows, replicating each ``num_clips`` times
+    (ref: kinetics.py:80-118, dino_loss_loader.py:41-77)."""
+    assert os.path.exists(path_to_file), f"{path_to_file} not found"
+    paths, labels = [], []
+    with open(path_to_file, "r") as f:
+        for path_label in f.read().splitlines():
+            if not path_label:
+                continue
+            assert len(path_label.split(separator)) == 2, path_label
+            path, label = path_label.split(separator)
+            for _ in range(num_clips):
+                if mode_subdir is not None:
+                    paths.append(os.path.join(path_prefix, mode_subdir, path))
+                else:
+                    paths.append(os.path.join(path_prefix, path))
+                labels.append(int(label))
+    assert paths, f"no entries in {path_to_file}"
+    return paths, labels
+
+
+class DinoLossDataset:
+    """Scoring dataset: whole-video decode + per-frame window index maps
+    (ref: datasets_custom/dino_loss_loader.py:10-123).
+
+    __getitem__ returns a dict:
+      frames      (T, 224, 224, 3) float32, normalized+center-cropped,
+                  channels-last (device-upload-friendly); or None on dummy
+      local_idx   (T, local_size) int64
+      global_idx  (T, eff_global) int64
+      eff_global  int
+      path        str
+      dummy       bool — size-mismatch -> constant-loss dummy protocol
+                  (ref: dino_loss_loader.py:34-38, 104-107)
+    """
+
+    def __init__(self, cfg, mode: str, local_clip_size: int,
+                 global_clip_size: int, sampling_rate: int):
+        self.cfg = cfg
+        self.mode = mode
+        self.local_clip_size = local_clip_size
+        self.global_clip_size = global_clip_size
+        self.sampling_rate = sampling_rate
+        self.crop_size = 224
+        num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS
+        csv = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{mode}.csv")
+        self._path_to_videos, self._labels = read_csv_entries(
+            csv, cfg.DATA.PATH_PREFIX, cfg.DATA.PATH_LABEL_SEPARATOR, num_clips)
+        print(f"Constructing dataloader (size: {len(self._path_to_videos)}) from {csv}")
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    def __getitem__(self, index: int) -> dict:
+        path = self._path_to_videos[index]
+        out = {
+            "path": path,
+            "local_size": self.local_clip_size,
+            "dummy": False,
+        }
+        try:
+            # decode with the pre-sampling stride applied in the decoder
+            # (the reference decodes everything then slices [::rate],
+            # ref: dino_loss_loader.py:81-85)
+            frames_u8, _fps = vio.read_video(path, stride=self.sampling_rate)
+        except vio.DecodeError:
+            frames_u8 = np.zeros((0, 0, 0, 3), np.uint8)
+
+        if frames_u8.shape[0] == 0 or frames_u8.shape[1] < self.crop_size \
+                or frames_u8.shape[2] < self.crop_size:
+            # size-mismatch protocol: constant-loss dummy views
+            out["dummy"] = True
+            out["frames"] = None
+            out["eff_global"] = min(self.global_clip_size,
+                                    max(frames_u8.shape[0], 1))
+            out["num_frames"] = self.global_clip_size  # 30 constant entries
+            return out
+
+        frames = tensor_normalize(frames_u8, self.cfg.DATA.MEAN, self.cfg.DATA.STD)
+        # center crop 224 on (T, H, W, C): reuse the TCHW helper via moveaxis
+        tchw = np.moveaxis(frames, -1, 1)
+        tchw, _ = uniform_crop(tchw, self.crop_size, spatial_idx=1)
+        frames = np.ascontiguousarray(np.moveaxis(tchw, 1, -1))
+
+        T = frames.shape[0]
+        try:
+            local_idx, global_idx, eff_global = window_indices(
+                T, self.local_clip_size, self.global_clip_size)
+        except WindowMismatch:
+            # ragged windows (odd T < global size): reference dummy protocol
+            out["dummy"] = True
+            out["frames"] = None
+            out["eff_global"] = min(self.global_clip_size, max(T, 1))
+            out["num_frames"] = self.global_clip_size
+            return out
+        out.update(frames=frames, local_idx=local_idx, global_idx=global_idx,
+                   eff_global=eff_global, num_frames=T)
+        return out
+
+
+class FrameSelectionDataset:
+    """Uniform / adaptive frame selection
+    (ref: datasets_custom/frame_selection_loader.py:12-218)."""
+
+    def __init__(self, cfg, pre_sampling_rate: int,
+                 selection_method: str = "uniform", num_frames: int = 8,
+                 augmentations: bool = False, return_type: str = "Tensor",
+                 mode: str = "test", sharpen: bool = False):
+        self.cfg = cfg
+        self.mode = mode
+        self.pre_sampling_rate = pre_sampling_rate
+        self.selection_method = selection_method
+        self.num_frames = num_frames
+        self.crop_size = 224
+        self.augmentations = augmentations
+        self.return_type = return_type
+        self.sharpen = sharpen
+
+        with open(cfg.LOSS_FILE, "r") as f:
+            self.loss_dict = json.load(f)
+
+        num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS
+        csv = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{mode}.csv")
+        mode_subdir = mode if cfg.get("DATASET", "") == "Kinetics" else None
+        self._path_to_videos, self._labels = read_csv_entries(
+            csv, cfg.DATA.PATH_PREFIX, cfg.DATA.PATH_LABEL_SEPARATOR,
+            num_clips, mode_subdir)
+        print(f"Constructing dataloader (size: {len(self._path_to_videos)}) from {csv}")
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    @property
+    def labels(self):
+        return list(self._labels)
+
+    def __getitem__(self, index: int):
+        path = self._path_to_videos[index]
+        file_name = os.path.basename(path)
+        N = self.num_frames
+
+        # total unsampled frame count, needed for the duplicate-resolution
+        # bound (ref: frame_selection_loader.py:159-164)
+        info = vio.video_info(path)
+        num_unsampled = info["num_frames"]
+        frames_u8, _ = vio.read_video(path, stride=self.pre_sampling_rate)
+        if num_unsampled <= 0:
+            # container didn't report nb_frames: derive from the decode
+            num_unsampled = frames_u8.shape[0] * self.pre_sampling_rate
+
+        if self.augmentations:
+            frames = tensor_normalize(frames_u8, self.cfg.DATA.MEAN, self.cfg.DATA.STD)
+            frames = np.moveaxis(frames, -1, 1)  # T C H W
+            frames, _ = uniform_crop(frames, self.crop_size, spatial_idx=1)
+        else:
+            frames = np.moveaxis(frames_u8, -1, 1)  # T C H W, uint8
+
+        if self.selection_method == "adaptive":
+            key = os.path.splitext(file_name)[0]
+            loss_list = self.loss_dict[key]
+            indices, frame_rows = sel.adaptive_indices(
+                loss_list, N, self.pre_sampling_rate,
+                num_presampled=frames.shape[0], num_unsampled=num_unsampled,
+                sharpen=self.sharpen)
+        else:
+            indices, frame_rows = sel.uniform_indices(N, frames.shape[0])
+
+        selected = np.stack([frames[r] for r in frame_rows]) if frame_rows else frames[:0]
+        indices = sel.pad_indices(indices, N, selected.shape[0])
+
+        frames_cthw = np.ascontiguousarray(np.moveaxis(selected, 0, 1))  # C T H W
+
+        if self.return_type == "Indices":
+            return indices, self._labels[index], file_name
+        if self.return_type == "Dict":
+            want = (3, N, 224, 224)
+            if frames_cthw.shape != want:
+                frames_cthw = np.zeros(want, np.float32)  # ref zero-pad quirk
+            return {
+                "pixel_values": np.moveaxis(frames_cthw, 0, 1),  # (N, C, H, W)
+                "label": self._labels[index],
+            }
+        return frames_cthw, self._labels[index], file_name, {}
+
+
+class ClipDataset:
+    """Train/val/test clip dataset for Kinetics / UCF101 / HMDB51
+    (ref: datasets_custom/kinetics.py:121-332, ucf101.py:96-268).
+
+    Train mode: one random temporal clip; optional DINO multi-crop
+    (``temporal_aug``) producing 2 global + ``local_crops_number`` local
+    clips. Val/test: deterministic NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS
+    grid with normalize + spatial_sampling.
+    """
+
+    def __init__(self, cfg, mode: str, num_retries: int = 10,
+                 get_flow: bool = False, temporal_aug: bool = False,
+                 csv_name: Optional[str] = None, seed: Optional[int] = None):
+        assert mode in ("train", "val", "test")
+        self.cfg = cfg
+        self.mode = mode
+        self._num_retries = num_retries
+        self.temporal_aug = temporal_aug
+        self.rng = np.random.RandomState(seed)
+
+        if mode in ("train", "val"):
+            self._num_clips = 1
+        else:
+            self._num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+
+        csv = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, csv_name or f"{mode}.csv")
+        self._path_to_videos, self._labels = read_csv_entries(
+            csv, cfg.DATA.PATH_PREFIX, cfg.DATA.PATH_LABEL_SEPARATOR,
+            self._num_clips)
+        self._spatial_temporal_idx = [
+            i % self._num_clips for i in range(len(self._path_to_videos))
+        ]
+        print(f"Constructing dataloader (size: {len(self._path_to_videos)}) from {csv}")
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    @property
+    def labels(self):
+        return list(self._labels)
+
+    def _decode_clip(self, index: int):
+        """Decode + temporal sampling; returns (T,H,W,C) uint8 or list of
+        clips under temporal_aug (ref: decoder.py:307-446)."""
+        cfg = self.cfg
+        path = self._path_to_videos[index]
+        frames, fps = vio.read_video(path)
+        if frames.shape[0] == 0:
+            return None
+
+        if self.mode in ("train", "val"):
+            clip_idx = -1
+            num_clips_total = 1
+        else:
+            clip_idx = self._spatial_temporal_idx[index] // cfg.TEST.NUM_SPATIAL_CROPS
+            num_clips_total = cfg.TEST.NUM_ENSEMBLE_VIEWS
+
+        sampling_rate = cfg.DATA.SAMPLING_RATE
+        num_frames = cfg.DATA.NUM_FRAMES
+        target_fps = cfg.DATA.TARGET_FPS
+        fps = fps or target_fps
+        clip_sz = sampling_rate * num_frames / target_fps * fps
+        start_idx, end_idx = get_start_end_idx(
+            frames.shape[0], clip_sz, clip_idx, num_clips_total, rng=self.rng)
+
+        if self.temporal_aug and self.mode == "train":
+            # 2 global + 8 local clips (ref: decoder.py:415-440)
+            max_len = frames.shape[0]
+            g1 = temporal_sampling(frames, 0, max_len - 5, num_frames)
+            g2 = temporal_sampling(frames, 5, max_len, num_frames)
+            locals_ = []
+            local_width = max_len // 8
+            for _ in range(8):
+                ri = int(self.rng.randint(0, max(max_len - local_width, 1)))
+                locals_.append(temporal_sampling(frames, ri, ri + local_width, num_frames))
+            return [g1, g2, *locals_]
+        return temporal_sampling(frames, start_idx, end_idx, num_frames)
+
+    def __getitem__(self, index: int):
+        cfg = self.cfg
+        for retry in range(self._num_retries):
+            clips = self._decode_clip(index)
+            if clips is not None:
+                break
+            # corrupt video: substitute a random other video
+            # (ref: kinetics.py:200-253)
+            index = int(self.rng.randint(0, len(self)))
+        else:
+            raise RuntimeError(f"failed to decode after {self._num_retries} retries")
+
+        label = self._labels[index]
+
+        if self.temporal_aug and self.mode == "train":
+            aug = VideoDataAugmentationDINO(rng=self.rng)
+            # clips are (T,H,W,C) uint8 -> (T,C,H,W) float for the aug chain
+            as_tchw = [np.moveaxis(c, -1, 1).astype(np.float32) for c in clips]
+            crops = aug(as_tchw, from_list=True)
+            # T C H W -> C T H W (ref: kinetics.py:306-311)
+            crops = [np.ascontiguousarray(np.moveaxis(c, 0, 1)) for c in crops]
+            return crops, label, index, {}
+
+        # plain path: normalize + spatial sampling (ref: kinetics.py:257-289)
+        frames = tensor_normalize(clips, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = np.moveaxis(frames, -1, 1)  # T C H W
+        if self.mode in ("train", "val"):
+            spatial_idx = -1
+            min_s, max_s = cfg.DATA.TRAIN_JITTER_SCALES
+            crop = cfg.DATA.TRAIN_CROP_SIZE
+        else:
+            spatial_idx = self._spatial_temporal_idx[index] % cfg.TEST.NUM_SPATIAL_CROPS
+            min_s = max_s = crop = cfg.DATA.TEST_CROP_SIZE
+        frames = spatial_sampling(
+            frames, self.rng, spatial_idx=spatial_idx, min_scale=min_s,
+            max_scale=max_s, crop_size=crop,
+            random_horizontal_flip=cfg.DATA.RANDOM_FLIP)
+        frames = np.ascontiguousarray(np.moveaxis(frames, 0, 1))  # C T H W
+        return frames, label, index, {}
+
+
+# dataset registry (ref: datasets_custom/build.py:5-30)
+DATASET_REGISTRY = {}
+
+
+def register_dataset(name):
+    def deco(cls):
+        DATASET_REGISTRY[name.lower()] = cls
+        return cls
+    return deco
+
+
+def build_dataset(name: str, cfg, split: str, **kw):
+    key = name.lower()
+    if key in DATASET_REGISTRY:
+        return DATASET_REGISTRY[key](cfg, split, **kw)
+    # kinetics / ucf101 / hmdb51 share the ClipDataset implementation;
+    # their differences are CSV naming conventions handled by csv_name
+    if key in ("kinetics", "kinetics400"):
+        return ClipDataset(cfg, split, **kw)
+    if key == "ucf101":
+        return ClipDataset(cfg, split, csv_name=f"ucf101_{split}_split_1_videos.txt", **kw)
+    if key == "hmdb51":
+        return ClipDataset(cfg, split, csv_name=f"hmdb51_{split}_split_1_videos.txt", **kw)
+    raise ValueError(f"unknown dataset {name}")

@@ -38,6 +38,43 @@ def add_reference_path():
     """
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    if "datasets_custom" not in sys.modules:
+        # bare package shell: the real __init__ imports torchvision-dependent
+        # modules; submodules like datasets_custom.data_utils are importable
+        # directly once __path__ points at the reference dir
+        import types
+
+        pkg = types.ModuleType("datasets_custom")
+        pkg.__path__ = [os.path.join(REFERENCE_ROOT, "datasets_custom")]
+        sys.modules["datasets_custom"] = pkg
+    if "fvcore" not in sys.modules:
+        import types
+
+        fv = types.ModuleType("fvcore")
+        fvc = types.ModuleType("fvcore.common")
+        fvf = types.ModuleType("fvcore.common.file_io")
+        fvf.PathManager = object
+        fv.common = fvc
+        fvc.file_io = fvf
+        sys.modules.update({"fvcore": fv, "fvcore.common": fvc,
+                            "fvcore.common.file_io": fvf})
+    if "torchvision" not in sys.modules:
+        import types
+
+        tv = types.ModuleType("torchvision")
+        tvio = types.ModuleType("torchvision.io")
+        tvu = types.ModuleType("torchvision.utils")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvtf = types.ModuleType("torchvision.transforms.functional")
+        tvio.read_video = None
+        tvu.save_image = None
+        tv.io, tv.utils, tv.transforms = tvio, tvu, tvt
+        tvt.functional = tvtf
+        sys.modules.update({
+            "torchvision": tv, "torchvision.io": tvio,
+            "torchvision.utils": tvu, "torchvision.transforms": tvt,
+            "torchvision.transforms.functional": tvtf,
+        })
     if "timm" not in sys.modules:
         import types
 

@@ -1,0 +1,290 @@
+"""Data layer tests: native decode, selection math, windows, transforms."""
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from dino_video_summarization_transformer_tpu.data import (
+    interp,
+    selection as sel,
+    transform as tfm,
+    video as vio,
+    windows,
+)
+
+
+# ---------------------------------------------------------------------------
+# native decoder
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def synth_video(tmp_path_factory):
+    """Encode a 60-frame gradient video via the native shim."""
+    if not vio.native_available():
+        pytest.skip("native decoder not built")
+    path = str(tmp_path_factory.mktemp("vid") / "synth.mp4")
+    T, H, W = 60, 240, 320
+    t = np.arange(T, dtype=np.float32)[:, None, None]
+    y = np.linspace(0, 255, H, dtype=np.float32)[None, :, None]
+    x = np.linspace(0, 255, W, dtype=np.float32)[None, None, :]
+    frames = np.stack([
+        np.broadcast_to((t * 4) % 256, (T, H, W)),
+        np.broadcast_to(y, (T, H, W)),
+        np.broadcast_to(x, (T, H, W)),
+    ], axis=-1).astype(np.uint8)
+    vio.write_video(path, frames, fps=30.0)
+    return path, frames
+
+
+def test_decode_roundtrip(synth_video):
+    path, frames = synth_video
+    decoded, fps = vio.read_video(path)
+    assert decoded.shape == frames.shape
+    assert abs(fps - 30.0) < 1.0  # mpeg4 container timebase rounding
+    # lossy codec: mean error should still be small on smooth gradients
+    err = np.abs(decoded.astype(np.float32) - frames.astype(np.float32)).mean()
+    assert err < 8.0, err
+
+
+def test_decode_strided(synth_video):
+    path, frames = synth_video
+    full, _ = vio.read_video(path)
+    strided, _ = vio.read_video(path, stride=4)
+    np.testing.assert_array_equal(strided, full[::4])
+
+
+def test_decode_indices(synth_video):
+    path, _ = synth_video
+    full, _ = vio.read_video(path)
+    idx = [3, 0, 17, 17, 59]
+    picked = vio.read_video_indices(path, idx)
+    np.testing.assert_array_equal(picked, full[idx])
+
+
+def test_video_info(synth_video):
+    path, frames = synth_video
+    info = vio.video_info(path)
+    assert info["width"] == 320 and info["height"] == 240
+    assert info["num_frames"] in (0, 60)  # container may omit nb_frames
+
+
+# ---------------------------------------------------------------------------
+# selection math vs a transliterated reference oracle
+# ---------------------------------------------------------------------------
+
+def reference_adaptive_oracle(loss_list, N, rate, num_presampled, num_unsampled):
+    """Direct transliteration of frame_selection_loader.py:115-190 (numpy)."""
+    loss_list = np.asarray(loss_list, dtype=np.float64)
+    if len(loss_list) > num_presampled:
+        loss_list = loss_list[:num_presampled]
+    pdf = (loss_list - loss_list.min()) / (loss_list.max() - loss_list.min())
+    pdf = loss_list / np.sum(loss_list)  # overwrites (reference dead code)
+    cdf = np.cumsum(pdf)
+    indices, rows = [], []
+    for i in range(N):
+        j = i / N
+        idx = int(np.abs(np.asarray(cdf) - j).argmin())
+        idx_scaled = idx * rate
+        if idx_scaled not in indices:
+            indices.append(idx_scaled)
+            rows.append(idx)
+        else:
+            temp = idx_scaled + rate
+            search = True
+            while search:
+                if temp not in indices and temp < num_unsampled:
+                    indices.append(temp)
+                    rows.append(idx)
+                    search = False
+                elif temp >= num_unsampled:
+                    indices.append(temp - rate)
+                    rows.append(-1)
+                    search = False
+                else:
+                    temp = temp + rate
+    return indices, rows
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_adaptive_selection_matches_oracle(seed):
+    rng = np.random.RandomState(seed)
+    n_pre = rng.randint(17, 200)
+    rate = rng.choice([2, 4, 8])
+    num_unsampled = n_pre * rate - rng.randint(0, rate)
+    losses = rng.rand(n_pre + rng.randint(-5, 6)).astype(np.float64) + 1e-3
+    N = 16
+    exp_idx, exp_rows = reference_adaptive_oracle(
+        losses, N, rate, n_pre, num_unsampled)
+    got_idx, got_rows = sel.adaptive_indices(
+        losses, N, rate, num_presampled=n_pre, num_unsampled=num_unsampled)
+    assert got_idx == exp_idx
+    assert got_rows == exp_rows
+
+
+def test_adaptive_selection_peaked_distribution():
+    """Duplicate-resolution path: a single loss spike drives all quantiles
+    to the same frame, exercising the forward-scan."""
+    losses = np.full(50, 1e-9)
+    losses[0] = 1.0  # cdf ~= 1 everywhere -> every quantile argmins to 0
+    idx, rows = sel.adaptive_indices(losses, 8, 4, 50, 200)
+    assert idx == [0, 4, 8, 12, 16, 20, 24, 28]  # forward scan at stride=rate
+    assert rows == [0] * 8  # reference quirk: frame row stays the argmin row
+
+
+def test_uniform_selection():
+    idx, rows = sel.uniform_indices(16, 100)
+    assert idx == [i * 6 for i in range(16)]
+    assert rows == idx
+
+
+# ---------------------------------------------------------------------------
+# windows vs a transliterated reference oracle
+# ---------------------------------------------------------------------------
+
+def reference_windows_oracle(T, local_size, global_size):
+    """Transliteration of get_views_of_video_same_size's index arithmetic
+    (ref: dino_loss_loader.py:126-171) applied to an arange 'video'."""
+    frames = np.arange(T)
+    loc = int(local_size / 2)
+    if len(frames) < global_size:
+        global_size = len(frames)
+    glob = int(global_size / 2)
+    locs, globs = [], []
+    for i in range(len(frames)):
+        j, k = i - loc, i + loc + 1
+        l, m = i - glob, i + glob
+        if j < 0:
+            j, k = 0, local_size
+        if k >= len(frames):
+            k, j = len(frames), len(frames) - local_size
+        if l < 0:
+            l, m = 0, global_size
+        if m >= len(frames):
+            m, l = len(frames), len(frames) - global_size
+        locs.append(frames[j:k])
+        globs.append(frames[l:m])
+    try:
+        return np.stack(locs), np.stack(globs), global_size
+    except ValueError:
+        # ragged sizes: the reference's torch.stack would also fail here
+        # only if sizes differ -> size_match dummy path
+        return None
+
+
+@pytest.mark.parametrize("T", [4, 6, 28, 30, 31, 100, 317])
+def test_window_indices_match_oracle(T):
+    exp_loc, exp_glob, exp_g = reference_windows_oracle(T, 3, 30)
+    loc, glob, g = windows.window_indices(T, 3, 30)
+    np.testing.assert_array_equal(loc, exp_loc)
+    np.testing.assert_array_equal(glob, exp_glob)
+    assert g == exp_g
+
+
+@pytest.mark.parametrize("T", [3, 5, 29])
+def test_window_indices_ragged_matches_reference_dummy(T):
+    """Odd T < global size: interior global windows are T-1 long, the
+    reference's stack is ragged -> dummy protocol. We must flag it."""
+    assert reference_windows_oracle(T, 3, 30) is None
+    with pytest.raises(windows.WindowMismatch):
+        windows.window_indices(T, 3, 30)
+
+
+# ---------------------------------------------------------------------------
+# transforms vs torch
+# ---------------------------------------------------------------------------
+
+def test_resize_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    x = np.random.RandomState(0).randn(2, 3, 31, 45).astype(np.float32)
+    for mode in ("bilinear", "bicubic"):
+        t = F.interpolate(torch.from_numpy(x), size=(224, 96), mode=mode,
+                          align_corners=False).numpy()
+        j = interp.resize(x, (224, 96), mode)
+        np.testing.assert_allclose(j, t, atol=2e-5)
+
+
+def test_tensor_normalize_matches_reference():
+    conftest.add_reference_path()
+    torch = pytest.importorskip("torch")
+    from datasets_custom.data_utils import tensor_normalize as ref_tn
+
+    x = np.random.RandomState(1).randint(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    ref = ref_tn(torch.from_numpy(x), [0.45, 0.45, 0.45], [0.225, 0.225, 0.225]).numpy()
+    got = tfm.tensor_normalize(x, [0.45, 0.45, 0.45], [0.225, 0.225, 0.225])
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_uniform_crop_matches_reference():
+    conftest.add_reference_path()
+    torch = pytest.importorskip("torch")
+    from datasets_custom.transform import uniform_crop as ref_uc
+
+    x = np.random.RandomState(2).randn(4, 3, 250, 300).astype(np.float32)
+    for idx in (0, 1, 2):
+        ref, _ = ref_uc(torch.from_numpy(x), 224, idx)
+        got, _ = tfm.uniform_crop(x, 224, idx)
+        np.testing.assert_array_equal(got, ref.numpy())
+
+
+def test_temporal_sampling_matches_reference():
+    conftest.add_reference_path()
+    torch = pytest.importorskip("torch")
+    from datasets_custom.decoder import temporal_sampling as ref_ts
+
+    x = np.random.RandomState(3).randn(57, 4, 5).astype(np.float32)
+    for (s, e, n) in [(0, 52, 8), (5, 56, 8), (0.0, 31.5, 16), (10, 12, 8)]:
+        ref = ref_ts(torch.from_numpy(x), s, e, n).numpy()
+        got = tfm.temporal_sampling(x, s, e, n)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_color_ops_match_reference():
+    conftest.add_reference_path()
+    torch = pytest.importorskip("torch")
+    from datasets_custom import transform as ref_t
+
+    x = np.random.RandomState(4).rand(2, 3, 8, 8).astype(np.float32)
+    xt = torch.from_numpy(x)
+    np.testing.assert_allclose(
+        tfm.grayscale(x), ref_t.grayscale(xt).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        tfm.color_normalization(x, [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+        ref_t.color_normalization(xt, [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]).numpy(),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        tfm.blend(x, 1 - x, 0.3), ref_t.blend(xt, 1 - xt, 0.3).numpy(), atol=1e-6)
+
+
+def test_dino_aug_shapes():
+    rng = np.random.RandomState(0)
+    aug = tfm.VideoDataAugmentationDINO(rng=rng)
+    clip = rng.randint(0, 256, (8, 3, 128, 160), dtype=np.uint8).astype(np.float32)
+    crops = aug([clip] * 10, from_list=True)
+    assert len(crops) == 10
+    assert crops[0].shape == (8, 3, 224, 224)
+    assert crops[1].shape == (8, 3, 224, 224)
+    for c in crops[2:]:
+        assert c.shape == (8, 3, 96, 96)
+
+
+def test_prefetch_loader_order_and_errors():
+    from dino_video_summarization_transformer_tpu.data import PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            if i == 13:
+                raise ValueError("boom")
+            return i * i
+
+    out = list(PrefetchLoader(DS(), indices=range(12), num_workers=4))
+    assert out == [i * i for i in range(12)]
+    with pytest.raises(ValueError):
+        list(PrefetchLoader(DS(), indices=range(20), num_workers=4))
