@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Per-frame DINO importance scoring CLI (ref: dino_similarity.py:138-191).
+
+Keeps the reference's CLI contract — same flags, same default window
+geometry (local=3, global=30, pre-sampling 4), same incremental JSON output
+format — on the TPU-native batched scoring engine.
+
+Example:
+    python dino_similarity.py --cfg configs/kinetics/timesformer_divst_8x32_224.yaml \
+        --pretrained_weights checkpoints/kinetics400_vitb_ssl.pth \
+        --batch_size_per_gpu 8 \
+        --opts DATA.PATH_TO_DATA_DIR /data/msvd DATA.PATH_PREFIX /data/msvd/videos
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dino_video_summarization_transformer_tpu.config import load_config
+from dino_video_summarization_transformer_tpu.utils.misc import bool_flag
+
+
+def get_args_parser():
+    # flag set mirrors the reference CLI (ref: dino_similarity.py:140-183)
+    p = argparse.ArgumentParser("Per-frame DINO similarity scoring")
+    p.add_argument("--n_last_blocks", default=4, type=int)
+    p.add_argument("--avgpool_patchtokens", default=False, type=bool_flag)
+    p.add_argument("--arch", default="vit_base", type=str,
+                   choices=["vit_tiny", "vit_small", "vit_base", "swin", "timesformer"])
+    p.add_argument("--patch_size", default=16, type=int)
+    p.add_argument("--pretrained_weights", default="", type=str)
+    p.add_argument("--checkpoint_key", default=None, type=str)
+    p.add_argument("--batch_size_per_gpu", default=8, type=int,
+                   help="frames scored per device step (chunk size)")
+    p.add_argument("--local_rank", default=0, type=int)
+    p.add_argument("--data_path", default="", type=str)
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--output_dir", default=".", type=str)
+    p.add_argument("--cfg", dest="cfg_file", type=str,
+                   default="configs/kinetics/timesformer_divst_8x32_224.yaml")
+    p.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
+    p.add_argument("--out_dim", default=768, type=int)
+    # scoring geometry (hardcoded in the reference __main__,
+    # ref: dino_similarity.py:186-189)
+    p.add_argument("--local_clip_size", default=3, type=int)
+    p.add_argument("--global_clip_size", default=30, type=int)
+    p.add_argument("--sampling_rate", default=4, type=int)
+    p.add_argument("--file_path", default="loss_values/loss_kinetics_test_4_3_30.json")
+    # TPU-specific
+    p.add_argument("--shard_id", default=0, type=int)
+    p.add_argument("--num_shards", default=1, type=int)
+    p.add_argument("--precision", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="float32 = reference-compat numerics; bfloat16 = fast")
+    return p
+
+
+def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_path):
+    """(ref: dino_similarity.py:16-93)."""
+    from dino_video_summarization_transformer_tpu.utils.cache import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from dino_video_summarization_transformer_tpu.data.datasets import DinoLossDataset
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        FrameScorer, run_scoring)
+    from dino_video_summarization_transformer_tpu.models import (
+        convert, init_timesformer)
+    from dino_video_summarization_transformer_tpu.models.timesformer import (
+        config_from_cfg)
+
+    config = load_config(cli)
+    mcfg = config_from_cfg(config, no_head=True, arch=cli.arch)
+
+    if cli.pretrained_weights:
+        params = convert.convert_svt_checkpoint(
+            cli.pretrained_weights, mcfg, checkpoint_key=cli.checkpoint_key)
+    else:
+        import jax
+        print("WARNING: no --pretrained_weights; scoring with random init")
+        params = init_timesformer(jax.random.key(config.RNG_SEED), mcfg)
+
+    dataset = DinoLossDataset(
+        cfg=config, mode="test", local_clip_size=local_clip_size,
+        global_clip_size=global_clip_size, sampling_rate=sampling_rate)
+
+    compute_dtype = jnp.bfloat16 if cli.precision == "bfloat16" else jnp.float32
+    scorer = FrameScorer(
+        params, mcfg, local_size=local_clip_size, global_size=global_clip_size,
+        chunk=cli.batch_size_per_gpu, compute_dtype=compute_dtype,
+        precision="highest" if cli.precision == "float32" else None)
+
+    run_scoring(dataset, scorer, file_path, num_workers=cli.num_workers,
+                shard_id=cli.shard_id, num_shards=cli.num_shards)
+
+
+if __name__ == "__main__":
+    cli = get_args_parser().parse_args()
+    dino_similarity(cli, cli.local_clip_size, cli.global_clip_size,
+                    cli.sampling_rate, cli.file_path)

@@ -71,10 +71,26 @@ def vit_tiny_config(**kw) -> TimeSformerConfig:
     return TimeSformerConfig(embed_dim=192, depth=12, num_heads=3, **kw)
 
 
-def config_from_cfg(cfg, no_head: bool = False) -> TimeSformerConfig:
-    """Build from the CfgNode tree (ref: models/timesformer.py:592-601)."""
+_ARCH_DIMS = {
+    # embed_dim, depth, num_heads
+    "vit_base": (768, 12, 12),
+    "timesformer": (768, 12, 12),
+    "vit_small": (384, 12, 6),
+    "vit_tiny": (192, 12, 3),
+}
+
+
+def config_from_cfg(cfg, no_head: bool = False, arch: str = "vit_base") -> TimeSformerConfig:
+    """Build from the CfgNode tree (ref: models/timesformer.py:592-601).
+
+    ``arch`` selects tiny/small/base dims (the reference declares an --arch
+    flag on every CLI; here it is honored rather than fixed to base)."""
+    embed_dim, depth, num_heads = _ARCH_DIMS.get(arch, _ARCH_DIMS["vit_base"])
     return TimeSformerConfig(
         img_size=cfg.DATA.TRAIN_CROP_SIZE,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=num_heads,
         num_classes=0 if no_head else cfg.MODEL.NUM_CLASSES,
         num_frames=cfg.DATA.NUM_FRAMES,
         attention_type=cfg.TIMESFORMER.ATTENTION_TYPE,
