@@ -1,3 +1,3 @@
-from .scoring import FrameScorer, export_loss, pick_bucket, run_scoring
+from .scoring import FRAME_BUFFER, FrameScorer, export_loss, run_scoring
 
-__all__ = ["FrameScorer", "export_loss", "pick_bucket", "run_scoring"]
+__all__ = ["FRAME_BUFFER", "FrameScorer", "export_loss", "run_scoring"]

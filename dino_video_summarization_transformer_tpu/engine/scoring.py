@@ -8,13 +8,15 @@ reference (GPU):  per video, materialize a (2T, 3, 30, 224, 224) view tensor
                   then per batch run two forwards and a *per-frame Python
                   loop with .item() syncs* (ref: dino_similarity.py:87-88).
 
-here (TPU):       the video's frames cross PCIe once as a (T, 224, 224, 3)
-                  buffer; local/global windows are *gathered on device* by
-                  index; frames are scored in fixed-size chunks under one
-                  jit (lax.map over chunks), producing the whole video's
-                  loss vector in a single device call. Frame counts are
-                  padded to a small set of buckets so XLA compiles a handful
-                  of programs total.
+here (TPU):       the video's frames live in a fixed-size device buffer
+                  (FRAME_BUFFER frames); local/global windows are *gathered
+                  on device* by index; a chunk of frames is scored per
+                  device call (two batched forwards + a vectorized loss).
+                  Long videos are split into overlapping segments whose
+                  halos cover the +/-15-frame window reach, so EVERY video
+                  runs through the same compiled program — no per-length
+                  recompilation, and chunk dispatches are pipelined
+                  (device arrays are only synced once per video).
 
 Numerics: reference-compat mode runs float32 with HIGHEST matmul precision
 (bit-matching the GPU reference to ~1e-5); production mode runs bfloat16.
@@ -25,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,15 +36,7 @@ import numpy as np
 from ..models import timesformer as tsf
 from ..train.dino import scoring_dino_loss
 
-# frame-count buckets: one XLA program per (bucket, eff_global) pair
-DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
-
-
-def pick_bucket(t: int, buckets=DEFAULT_BUCKETS) -> int:
-    for b in buckets:
-        if t <= b:
-            return b
-    return ((t + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+FRAME_BUFFER = 512  # device-resident frames per segment
 
 
 class FrameScorer:
@@ -54,11 +48,12 @@ class FrameScorer:
         model_cfg: tsf.TimeSformerConfig,
         local_size: int = 3,
         global_size: int = 30,
-        chunk: int = 8,
+        chunk: int = 16,
         teacher_temp: float = 0.02,
         student_temp: float = 0.3,
         compute_dtype=jnp.float32,
         precision: Optional[str] = "highest",
+        frame_buffer: int = FRAME_BUFFER,
     ):
         self.model_cfg = model_cfg
         self.local_size = local_size
@@ -68,25 +63,24 @@ class FrameScorer:
         self.student_temp = student_temp
         self.compute_dtype = compute_dtype
         self.precision = precision
-        self.params = jax.tree.map(
-            lambda x: jnp.asarray(x, compute_dtype if compute_dtype == jnp.bfloat16 else None),
-            params,
-        )
-        self._jitted: Dict[tuple, callable] = {}
-        self._dummy_loss: Dict[int, float] = {}
+        self.frame_buffer = frame_buffer
+        if compute_dtype == jnp.bfloat16:
+            params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        else:
+            params = jax.tree.map(jnp.asarray, params)
+        self.params = params
+        self._jitted: Dict[int, callable] = {}
+        self._dummy_loss: Optional[float] = None
 
-    # -- compiled kernels ---------------------------------------------------
+    # -- compiled kernel ------------------------------------------------------
 
     def _build(self, eff_global: int):
         cfg = self.model_cfg
         chunk = self.chunk
         dtype = self.compute_dtype
 
-        def fwd(x):
-            return tsf.forward(self.params, x, cfg, compute_dtype=dtype)
-
-        def score_chunk(frames, loc_idx, glob_idx):
-            # frames (Tp, H, W, C); loc_idx (chunk, L); glob_idx (chunk, G)
+        def score_chunk(params, frames, loc_idx, glob_idx):
+            # frames (Fb, H, W, C); loc_idx (chunk, L); glob_idx (chunk, G)
             local = jnp.take(frames, loc_idx.reshape(-1), axis=0)
             local = local.reshape(chunk, self.local_size, *frames.shape[1:])
             glob = jnp.take(frames, glob_idx.reshape(-1), axis=0)
@@ -94,70 +88,102 @@ class FrameScorer:
             # (B, T, H, W, C) -> (B, C, T, H, W)
             local = local.transpose(0, 4, 1, 2, 3)
             glob = glob.transpose(0, 4, 1, 2, 3)
-            s = fwd(local)
-            t = fwd(glob)
+            s = tsf.forward(params, local, cfg, compute_dtype=dtype)
+            t = tsf.forward(params, glob, cfg, compute_dtype=dtype)
             return scoring_dino_loss(
                 s, t, teacher_temp=self.teacher_temp,
                 student_temp=self.student_temp)
 
-        def score_video(frames, loc_idx_all, glob_idx_all):
-            Tp = loc_idx_all.shape[0]
-            n_chunks = Tp // chunk
-            loc = loc_idx_all.reshape(n_chunks, chunk, self.local_size)
-            glob = glob_idx_all.reshape(n_chunks, chunk, eff_global)
-            losses = jax.lax.map(
-                lambda ab: score_chunk(frames, ab[0], ab[1]), (loc, glob))
-            return losses.reshape(Tp)
-
         if self.precision:
-            score_video = partial(
-                _with_matmul_precision, self.precision, score_video)
-        return jax.jit(score_video)
+            score_chunk = partial(
+                _with_matmul_precision, self.precision, score_chunk)
+        return jax.jit(score_chunk)
 
-    def _get(self, bucket: int, eff_global: int):
-        key = (bucket, eff_global)
-        if key not in self._jitted:
-            self._jitted[key] = self._build(eff_global)
-        return self._jitted[key]
+    def _get(self, eff_global: int):
+        if eff_global not in self._jitted:
+            self._jitted[eff_global] = self._build(eff_global)
+        return self._jitted[eff_global]
 
-    # -- public API ----------------------------------------------------------
+    # -- public API ------------------------------------------------------------
 
     def score_video(self, frames: np.ndarray, local_idx: np.ndarray,
                     global_idx: np.ndarray, eff_global: int) -> np.ndarray:
-        """frames (T, H, W, C) float32 normalized; returns (T,) losses."""
+        """frames (T, H, W, C) float32 normalized; returns (T,) losses.
+
+        Splits into segments of ``frame_buffer`` frames with window-reach
+        halos; within a segment, chunks of frames are dispatched without
+        host syncs (one sync at the end of the video).
+        """
         T = frames.shape[0]
-        Tp = pick_bucket(T)
-        pad_t = Tp - T
-        frames_p = np.pad(frames, ((0, pad_t), (0, 0), (0, 0), (0, 0)))
-        loc_p = np.pad(local_idx, ((0, pad_t), (0, 0)))
-        glob_p = np.pad(global_idx, ((0, pad_t), (0, 0)))
-        fn = self._get(Tp, eff_global)
-        losses = fn(
-            jnp.asarray(frames_p, self.compute_dtype),
-            jnp.asarray(loc_p), jnp.asarray(glob_p))
-        return np.asarray(losses[:T], np.float64)
+        Fb = self.frame_buffer
+        fn = self._get(eff_global)
+        chunk = self.chunk
+        halo = self.global_size  # window reach upper bound
+
+        # segment plan: segment covers source frames [src0, src0+Fb) and
+        # scores target frames [a, b) whose (possibly end-clamped) windows
+        # fit inside. Worst-case backward reach is halo-1 frames (an
+        # end-clamped global window starts at T-global_size), so src0 lags
+        # the first target by halo; progress per segment is Fb - 2*halo.
+        assert Fb >= 2 * halo + self.chunk, (
+            f"frame_buffer {Fb} too small for halo {halo}")
+        segments: List[tuple] = []
+        a = 0
+        while a < T:
+            src0 = max(0, a - halo)
+            end = src0 + Fb
+            b = T if end >= T else end - halo
+            segments.append((src0, a, b))
+            a = b
+
+        out_parts = []
+        for (src0, a, b) in segments:
+            seg = frames[src0:src0 + Fb]
+            if seg.shape[0] < Fb:
+                seg = np.pad(seg, ((0, Fb - seg.shape[0]),) + ((0, 0),) * 3)
+            seg_dev = jnp.asarray(seg, self.compute_dtype)
+            n = b - a
+            loc = local_idx[a:b] - src0
+            glob = global_idx[a:b] - src0
+            pad_n = (-n) % chunk
+            if pad_n:
+                loc = np.pad(loc, ((0, pad_n), (0, 0)))
+                glob = np.pad(glob, ((0, pad_n), (0, 0)))
+            losses = []
+            for c0 in range(0, n + pad_n, chunk):
+                losses.append(fn(
+                    self.params, seg_dev,
+                    jnp.asarray(loc[c0:c0 + chunk]),
+                    jnp.asarray(glob[c0:c0 + chunk])))
+            seg_losses = np.concatenate([np.asarray(x) for x in losses])[:n]
+            out_parts.append(seg_losses)
+        return np.concatenate(out_parts).astype(np.float64)
 
     def dummy_losses(self) -> np.ndarray:
         """Constant-loss protocol for corrupt / size-mismatched videos:
         the reference scores global_size pairs of all-zero (3, 60, 224, 224)
         views (ref: dino_loss_loader.py:34-38, dino_similarity.py:66-93),
         yielding global_size identical values."""
-        key = 60
-        if key not in self._dummy_loss:
+        if self._dummy_loss is None:
             zeros_local = jnp.zeros(
                 (1, 3, self.local_size, 224, 224), self.compute_dtype)
             zeros_glob = jnp.zeros((1, 3, 60, 224, 224), self.compute_dtype)
-            with (jax.default_matmul_precision(self.precision)
-                  if self.precision else _nullcontext()):
+
+            def run():
                 s = tsf.forward(self.params, zeros_local, self.model_cfg,
                                 compute_dtype=self.compute_dtype)
                 t = tsf.forward(self.params, zeros_glob, self.model_cfg,
                                 compute_dtype=self.compute_dtype)
-                val = float(scoring_dino_loss(
+                return scoring_dino_loss(
                     s[0], t[0], teacher_temp=self.teacher_temp,
-                    student_temp=self.student_temp))
-            self._dummy_loss[key] = val
-        return np.full(self.global_size, self._dummy_loss[key])
+                    student_temp=self.student_temp)
+
+            if self.precision:
+                val = _with_matmul_precision(self.precision, run)
+            else:
+                val = run()
+            self._dummy_loss = float(val)
+        return np.full(self.global_size, self._dummy_loss)
 
     def score_item(self, item: dict) -> np.ndarray:
         """Score one DinoLossDataset item (dict contract in datasets.py)."""
@@ -171,14 +197,6 @@ class FrameScorer:
 def _with_matmul_precision(precision, fn, *args):
     with jax.default_matmul_precision(precision):
         return fn(*args)
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 def export_loss(loss_list, video_path: str, file_path: str) -> None:

@@ -28,7 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 from dino_video_summarization_transformer_tpu.data import transform as tfm  # noqa: E402
 from dino_video_summarization_transformer_tpu.data.windows import window_indices  # noqa: E402
 from dino_video_summarization_transformer_tpu.engine.scoring import (  # noqa: E402
-    FrameScorer, export_loss, pick_bucket)
+    FrameScorer, export_loss)
 from dino_video_summarization_transformer_tpu.models import convert  # noqa: E402
 from dino_video_summarization_transformer_tpu.models import timesformer as tsf  # noqa: E402
 
@@ -146,31 +146,32 @@ def test_scoring_matches_reference_pipeline():
     np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-3)
 
 
-def test_scoring_bucket_padding_invariance():
-    """Zero-padding frames/indices to a larger bucket must not change the
-    real frames' losses (the engine slices [:T] after the padded compute)."""
-    _, jparams, jcfg = small_pair()
+def test_scoring_chunk_padding_invariance():
+    """T not divisible by chunk: the tail chunk is index-padded; the real
+    frames' losses must be unaffected."""
+    _, jparams, jcfg = small_pair(embed_dim=32, depth=1, heads=2)
     rng = np.random.RandomState(1)
-    T = 12
+    frames = rng.randn(14, 224, 224, 3).astype(np.float32)
+    loc, glob, eff = window_indices(14, 3, 30)
+    a = FrameScorer(jparams, jcfg, chunk=4).score_video(frames, loc, glob, eff)
+    b = FrameScorer(jparams, jcfg, chunk=7).score_video(frames, loc, glob, eff)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_segmented_long_video_matches_unsegmented():
+    """A video longer than the frame buffer is scored through overlapping
+    segments; losses must equal the small-buffer-free computation."""
+    _, jparams, jcfg = small_pair(embed_dim=32, depth=1, heads=2)
+    rng = np.random.RandomState(7)
+    T = 150
     frames = rng.randn(T, 224, 224, 3).astype(np.float32)
     loc, glob, eff = window_indices(T, 3, 30)
-    scorer = FrameScorer(jparams, jcfg, chunk=4)
-    a = scorer.score_video(frames, loc, glob, eff)  # bucket 32
-
-    fn = scorer._get(64, eff)  # force a larger bucket by calling directly
-    pad = 64 - T
-    b = fn(
-        jnp.asarray(np.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)))),
-        jnp.asarray(np.pad(loc, ((0, pad), (0, 0)))),
-        jnp.asarray(np.pad(glob, ((0, pad), (0, 0)))))
-    np.testing.assert_allclose(a, np.asarray(b)[:T], atol=1e-5)
-
-
-def test_pick_bucket():
-    assert pick_bucket(1) == 32
-    assert pick_bucket(32) == 32
-    assert pick_bucket(33) == 64
-    assert pick_bucket(5000) == 6144
+    big = FrameScorer(jparams, jcfg, chunk=4, frame_buffer=512)
+    small = FrameScorer(jparams, jcfg, chunk=4, frame_buffer=64)
+    a = big.score_video(frames, loc, glob, eff)
+    b = small.score_video(frames, loc, glob, eff)
+    assert a.shape == (T,)
+    np.testing.assert_allclose(a, b, atol=1e-5)
 
 
 def test_export_loss_merge(tmp_path):
