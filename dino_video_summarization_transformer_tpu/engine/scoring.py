@@ -54,7 +54,13 @@ class FrameScorer:
         compute_dtype=jnp.float32,
         precision: Optional[str] = "highest",
         frame_buffer: int = FRAME_BUFFER,
+        global_subsample: int = 1,
     ):
+        # global_subsample > 1 = "fast mode": the teacher window keeps its
+        # +/-15-frame span but samples every k-th frame, e.g. k=4 turns the
+        # 30-frame teacher clip into 8 frames — the model's NATIVE temporal
+        # extent (no time-embed extrapolation) at ~4x the throughput.
+        # Scores differ from the reference; not for bit-parity runs.
         self.model_cfg = model_cfg
         self.local_size = local_size
         self.global_size = global_size
@@ -64,6 +70,7 @@ class FrameScorer:
         self.compute_dtype = compute_dtype
         self.precision = precision
         self.frame_buffer = frame_buffer
+        self.global_subsample = max(1, int(global_subsample))
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:
@@ -116,6 +123,9 @@ class FrameScorer:
         """
         T = frames.shape[0]
         Fb = self.frame_buffer
+        if self.global_subsample > 1:
+            global_idx = global_idx[:, ::self.global_subsample]
+            eff_global = global_idx.shape[1]
         fn = self._get(eff_global)
         chunk = self.chunk
         halo = self.global_size  # window reach upper bound
