@@ -117,6 +117,7 @@ def reference_scoring_oracle(tmodel, frames_thwc_u8, local_size, global_size,
     return np.asarray(losses)
 
 
+@pytest.mark.slow
 def test_scoring_matches_reference_pipeline():
     tmodel, jparams, jcfg = small_pair()
     rng = np.random.RandomState(0)
@@ -184,6 +185,7 @@ def test_export_loss_merge(tmp_path):
     assert data == {"videoA": [9.0], "videoB": [3.0]}
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     """Drive the dino_similarity.py CLI on a synthetic dataset (CPU)."""
     from dino_video_summarization_transformer_tpu.data import video as vio

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""DINO self-supervised video-transformer pretraining CLI
+(ref: train_ssl.py:50-463).
+
+Same flag set and training semantics as the reference's ``train_svt``, on
+the TPU-native sharded train step: multi-crop DINO (2 global + N local
+clips), AdamW/SGD/LARS, cosine lr/wd/teacher-momentum schedules, teacher
+temperature warmup, gradient clipping + last-layer freeze, EMA teacher,
+Orbax checkpoint/auto-resume, JSON-line logs. ``--use_fp16`` maps to
+bfloat16 compute (no GradScaler needed on TPU).
+"""
+
+import argparse
+import datetime
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dino_video_summarization_transformer_tpu.utils.misc import bool_flag
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("DINO-SVT", add_help=False)
+    p.add_argument("--arch", default="vit_base", type=str,
+                   choices=["vit_tiny", "vit_small", "vit_base", "timesformer", "swin"])
+    p.add_argument("--patch_size", default=16, type=int)
+    p.add_argument("--out_dim", default=65536, type=int)
+    p.add_argument("--norm_last_layer", default=True, type=bool_flag)
+    p.add_argument("--momentum_teacher", default=0.996, type=float)
+    p.add_argument("--use_bn_in_head", default=False, type=bool_flag)
+    p.add_argument("--warmup_teacher_temp", default=0.04, type=float)
+    p.add_argument("--teacher_temp", default=0.04, type=float)
+    p.add_argument("--warmup_teacher_temp_epochs", default=0, type=int)
+    p.add_argument("--use_fp16", default=True, type=bool_flag,
+                   help="bfloat16 compute on TPU (no loss scaling needed)")
+    p.add_argument("--weight_decay", type=float, default=0.04)
+    p.add_argument("--weight_decay_end", type=float, default=0.4)
+    p.add_argument("--clip_grad", type=float, default=3.0)
+    p.add_argument("--batch_size_per_gpu", default=8, type=int)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--freeze_last_layer", default=1, type=int)
+    p.add_argument("--lr", default=0.0005, type=float)
+    p.add_argument("--warmup_epochs", default=10, type=int)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--optimizer", default="adamw", type=str,
+                   choices=["adamw", "sgd", "lars"])
+    p.add_argument("--global_crops_scale", type=float, nargs="+", default=(0.4, 1.0))
+    p.add_argument("--local_crops_number", type=int, default=8)
+    p.add_argument("--local_crops_scale", type=float, nargs="+", default=(0.05, 0.4))
+    p.add_argument("--data_path", default="", type=str)
+    p.add_argument("--pretrained_rgb", default=None, type=str)
+    p.add_argument("--output_dir", default=".", type=str)
+    p.add_argument("--saveckp_freq", default=20, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--dist_url", default="env://", type=str)
+    p.add_argument("--local_rank", default=0, type=int)
+    p.add_argument("--cfg", dest="cfg_file", type=str,
+                   default="configs/kinetics/timesformer_divst_8x32_224.yaml")
+    p.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
+    p.add_argument("--max_steps_per_epoch", default=0, type=int,
+                   help="debug: cap iterations per epoch (0 = full epoch)")
+    return p
+
+
+def train_svt(args):
+    """(ref: train_ssl.py:154-463)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dino_video_summarization_transformer_tpu.config import load_config
+    from dino_video_summarization_transformer_tpu.data.datasets import ClipDataset
+    from dino_video_summarization_transformer_tpu.data.loader import (
+        PrefetchLoader, shard_indices)
+    from dino_video_summarization_transformer_tpu.engine.meters import MetricLogger
+    from dino_video_summarization_transformer_tpu.models import convert
+    from dino_video_summarization_transformer_tpu.models.timesformer import (
+        config_from_cfg)
+    from dino_video_summarization_transformer_tpu.parallel import (
+        build_mesh, data_sharding, init_distributed_mode, is_main_process,
+        replicated)
+    from dino_video_summarization_transformer_tpu.train.dino import (
+        teacher_temp_schedule)
+    from dino_video_summarization_transformer_tpu.train.ssl import (
+        build_schedules, init_train_state, make_train_step)
+    from dino_video_summarization_transformer_tpu.utils.cache import (
+        enable_compilation_cache)
+    from dino_video_summarization_transformer_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from dino_video_summarization_transformer_tpu.utils.misc import (
+        fix_random_seeds, get_sha)
+
+    enable_compilation_cache()
+    dist = init_distributed_mode()
+    fix_random_seeds(args.seed)
+    print(f"git:\n  {get_sha()}\n")
+    print("\n".join(f"{k}: {v}" for k, v in sorted(dict(vars(args)).items())))
+    os.makedirs(args.output_dir, exist_ok=True)
+    if is_main_process():
+        with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+            json.dump(vars(args), f, indent=2, default=str)
+
+    cfg = load_config(args)
+    if args.data_path:
+        cfg.DATA.PATH_TO_DATA_DIR = args.data_path
+        if not cfg.DATA.PATH_PREFIX:
+            cfg.DATA.PATH_PREFIX = args.data_path
+
+    # ---------------- data -------------------------------------------------
+    dataset = ClipDataset(cfg, "train", temporal_aug=True, seed=args.seed)
+    world = jax.process_count()
+    per_host = args.batch_size_per_gpu * jax.local_device_count()
+    idx = shard_indices(len(dataset), jax.process_index(), world,
+                        shuffle=True, seed=args.seed, drop_last=True)
+
+    def collate(items):
+        crops = [np.stack([it[0][c] for it in items]) for c in range(
+            2 + args.local_crops_number)]
+        g = np.concatenate(crops[:2], axis=0)
+        l = np.concatenate(crops[2:], axis=0)
+        return g, l
+
+    niter_per_ep = max(len(idx) // per_host, 1)
+    print(f"Data loaded: {len(dataset)} videos, {niter_per_ep} it/epoch.")
+
+    # ---------------- model ------------------------------------------------
+    mcfg = config_from_cfg(cfg, no_head=True, arch=args.arch)
+    pretrained_backbone = None
+    if args.pretrained_rgb:
+        pretrained_backbone = convert.convert_svt_checkpoint(
+            args.pretrained_rgb, mcfg, checkpoint_key="teacher")
+        print(f"Loaded pretrained RGB backbone from {args.pretrained_rgb}")
+
+    state, core, mask = init_train_state(
+        jax.random.key(args.seed), mcfg, out_dim=args.out_dim,
+        optimizer=args.optimizer,
+        pretrained_backbone=pretrained_backbone)
+
+    mesh = build_mesh()
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = make_train_step(
+        mcfg, core, mask, n_local_crops=args.local_crops_number,
+        clip_grad=args.clip_grad,
+        compute_dtype=jnp.bfloat16 if args.use_fp16 else jnp.float32,
+        mesh=mesh)
+    d_shard = data_sharding(mesh)
+
+    # ---------------- schedules --------------------------------------------
+    lr_sched, wd_sched, mom_sched = build_schedules(args, niter_per_ep)
+    tt_sched = teacher_temp_schedule(
+        args.warmup_teacher_temp, args.teacher_temp,
+        args.warmup_teacher_temp_epochs, args.epochs)
+
+    # ---------------- resume ------------------------------------------------
+    ckpt_path = os.path.join(args.output_dir, "checkpoint")
+    restored, run_vars = restore_checkpoint(ckpt_path, state)
+    start_epoch = 0
+    if restored is not None:
+        state = jax.device_put(restored, replicated(mesh))
+        start_epoch = int(run_vars.get("epoch", 0))
+        print(f"Resumed from {ckpt_path} at epoch {start_epoch}")
+
+    # ---------------- train loop -------------------------------------------
+    start_time = time.time()
+    for epoch in range(start_epoch, args.epochs):
+        epoch_idx = shard_indices(len(dataset), jax.process_index(), world,
+                                  shuffle=True, seed=args.seed + epoch,
+                                  drop_last=True)
+        loader = PrefetchLoader(dataset, indices=epoch_idx,
+                                num_workers=args.num_workers,
+                                batch_size=per_host, collate=collate)
+        metric_logger = MetricLogger(delimiter="  ")
+        header = f"Epoch: [{epoch}/{args.epochs}]"
+        for it, (g, l) in enumerate(metric_logger.log_every(loader, 10, header)):
+            if args.max_steps_per_epoch and it >= args.max_steps_per_epoch:
+                break
+            gi = min(epoch * niter_per_ep + it, len(lr_sched) - 1)
+            g_dev = jax.device_put(jnp.asarray(g), d_shard)
+            l_dev = jax.device_put(jnp.asarray(l), d_shard)
+            state, metrics = step_fn(
+                state, g_dev, l_dev,
+                float(lr_sched[gi]), float(wd_sched[gi]), float(mom_sched[gi]),
+                float(tt_sched[min(epoch, len(tt_sched) - 1)]),
+                epoch < args.freeze_last_layer)
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                print(f"Loss is {loss}, stopping training", flush=True)
+                sys.exit(1)
+            metric_logger.update(loss=loss, lr=lr_sched[gi], wd=wd_sched[gi])
+
+        # checkpointing (ref: train_ssl.py:441-455)
+        save_checkpoint(ckpt_path, state, {"epoch": epoch + 1})
+        if args.saveckp_freq and (epoch % args.saveckp_freq == 0):
+            save_checkpoint(
+                os.path.join(args.output_dir, f"checkpoint{epoch:04d}"),
+                state, {"epoch": epoch + 1})
+
+        metric_logger.synchronize_between_processes()
+        train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
+        log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
+                     "epoch": epoch}
+        if is_main_process():
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+
+    total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
+    print(f"Training time {total}")
+    return state
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("DINO-SVT", parents=[get_args_parser()])
+    args = parser.parse_args()
+    train_svt(args)
