@@ -94,6 +94,9 @@ def knn_classifier(
     n_test = test_labels.shape[0]
     imgs_per_chunk = max(n_test // num_chunks, 1)
 
+    k = min(k, train_features.shape[0])
+    top_n = min(5, num_classes)
+
     @jax.jit
     def vote(feats):
         sim = feats @ train_features.T  # (B, Ntrain)
@@ -102,8 +105,7 @@ def knn_classifier(
         w = jnp.exp(dist / T)
         one_hot = jax.nn.one_hot(neigh, num_classes, dtype=w.dtype)
         probs = jnp.sum(one_hot * w[..., None], axis=1)  # (B, C)
-        top5 = jax.lax.top_k(probs, 5)[1]
-        return top5
+        return jax.lax.top_k(probs, top_n)[1]
 
     top1 = top5 = total = 0
     for start in range(0, n_test, imgs_per_chunk):
@@ -116,7 +118,7 @@ def knn_classifier(
         targets = test_labels[start:stop]
         correct = preds == targets[:, None]
         top1 += int(correct[:, 0].sum())
-        top5 += int(correct[:, :5].sum())
+        top5 += int(correct[:, :top_n].sum())
         total += b
     return top1 * 100.0 / total, top5 * 100.0 / total
 

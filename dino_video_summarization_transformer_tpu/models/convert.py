@@ -219,6 +219,83 @@ def dino_head_to_pytree(sd: Mapping[str, np.ndarray], prefix: str = "") -> Dict[
     }
 
 
+_HF_BLOCK_MAP = [
+    # order matters: most specific first
+    ("attention.attention.qkv.", "attn.qkv."),
+    ("attention.output.dense.", "attn.proj."),
+    ("temporal_attention.attention.qkv.", "temporal_attn.qkv."),
+    ("temporal_attention.output.dense.", "temporal_attn.proj."),
+    ("temporal_dense.", "temporal_fc."),
+    ("temporal_layernorm.", "temporal_norm1."),
+    ("layernorm_before.", "norm1."),
+    ("layernorm_after.", "norm2."),
+    ("intermediate.dense.", "mlp.fc1."),
+    ("output.dense.", "mlp.fc2."),
+]
+
+
+def hf_timesformer_state_dict_to_reference(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename a HuggingFace Timesformer state_dict into the reference naming
+    scheme so the standard surgery/pytree path applies
+    (HF `transformers` TimesformerModel layout; consumed by the evaluation
+    CLIs the reference drives with TimesformerForVideoClassification,
+    ref: timesformer_evaluation.py:60-62)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("timesformer.embeddings."):
+            tail = k[len("timesformer.embeddings."):]
+            tail = {
+                "cls_token": "cls_token",
+                "position_embeddings": "pos_embed",
+                "time_embeddings": "time_embed",
+                "patch_embeddings.projection.weight": "patch_embed.proj.weight",
+                "patch_embeddings.projection.bias": "patch_embed.proj.bias",
+            }[tail]
+            out[tail] = v
+        elif k.startswith("timesformer.encoder.layer."):
+            rest = k[len("timesformer.encoder.layer."):]
+            idx, sub = rest.split(".", 1)
+            for src, dst in _HF_BLOCK_MAP:
+                if sub.startswith(src):
+                    sub = dst + sub[len(src):]
+                    break
+            out[f"blocks.{idx}.{sub}"] = v
+        elif k.startswith("timesformer.layernorm."):
+            out["norm." + k[len("timesformer.layernorm."):]] = v
+        elif k.startswith("classifier."):
+            out["head." + k[len("classifier."):]] = v
+    return out
+
+
+def convert_hf_timesformer(path_or_sd, cfg: TimeSformerConfig):
+    """HF Timesformer checkpoint (directory with safetensors/bin, or a
+    state_dict mapping) -> stacked-block pytree."""
+    if isinstance(path_or_sd, str):
+        import os
+
+        if os.path.isdir(path_or_sd):
+            sd = _load_hf_dir(path_or_sd)
+        else:
+            sd = load_torch_state_dict(path_or_sd)
+    else:
+        sd = {k: _to_np(v) for k, v in path_or_sd.items()}
+    sd = hf_timesformer_state_dict_to_reference(sd)
+    sd = apply_surgery(sd, cfg)
+    return timesformer_to_pytree(sd, cfg)
+
+
+def _load_hf_dir(path: str) -> Dict[str, np.ndarray]:
+    import os
+
+    st = os.path.join(path, "model.safetensors")
+    if os.path.exists(st):
+        from safetensors.numpy import load_file
+
+        return load_file(st)
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    return load_torch_state_dict(bin_path)
+
+
 def convert_svt_checkpoint(path: str, cfg: TimeSformerConfig, checkpoint_key: str | None = "teacher"):
     """End-to-end: .pth -> backbone pytree with full surgery."""
     sd = load_torch_state_dict(path, checkpoint_key)
