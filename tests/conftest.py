@@ -30,6 +30,15 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+
+def _stub_module(name):
+    import importlib.machinery
+    import types
+
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
 def add_reference_path():
     """Make the read-only reference importable as a parity oracle.
 
@@ -44,15 +53,15 @@ def add_reference_path():
         # directly once __path__ points at the reference dir
         import types
 
-        pkg = types.ModuleType("datasets_custom")
+        pkg = _stub_module("datasets_custom")
         pkg.__path__ = [os.path.join(REFERENCE_ROOT, "datasets_custom")]
         sys.modules["datasets_custom"] = pkg
     if "fvcore" not in sys.modules:
         import types
 
-        fv = types.ModuleType("fvcore")
-        fvc = types.ModuleType("fvcore.common")
-        fvf = types.ModuleType("fvcore.common.file_io")
+        fv = _stub_module("fvcore")
+        fvc = _stub_module("fvcore.common")
+        fvf = _stub_module("fvcore.common.file_io")
         fvf.PathManager = object
         fv.common = fvc
         fvc.file_io = fvf
@@ -61,11 +70,11 @@ def add_reference_path():
     if "torchvision" not in sys.modules:
         import types
 
-        tv = types.ModuleType("torchvision")
-        tvio = types.ModuleType("torchvision.io")
-        tvu = types.ModuleType("torchvision.utils")
-        tvt = types.ModuleType("torchvision.transforms")
-        tvtf = types.ModuleType("torchvision.transforms.functional")
+        tv = _stub_module("torchvision")
+        tvio = _stub_module("torchvision.io")
+        tvu = _stub_module("torchvision.utils")
+        tvt = _stub_module("torchvision.transforms")
+        tvtf = _stub_module("torchvision.transforms.functional")
         tvio.read_video = None
         tvu.save_image = None
         tv.io, tv.utils, tv.transforms = tvio, tvu, tvt
@@ -90,9 +99,16 @@ def add_reference_path():
             def __init__(self, drop_prob=None):
                 super().__init__()
 
+        import importlib.machinery
+
         timm = types.ModuleType("timm")
         timm_models = types.ModuleType("timm.models")
         timm_layers = types.ModuleType("timm.models.layers")
+        # transformers probes timm via importlib.util.find_spec; a stub with
+        # __spec__ = None makes that raise ValueError
+        for m in (timm, timm_models, timm_layers):
+            m.__spec__ = importlib.machinery.ModuleSpec(m.__name__, None)
+        timm.__version__ = "0.0-stub"
         timm_layers.DropPath = _DropPath
         timm_layers.trunc_normal_ = _trunc_normal_
         timm_layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)

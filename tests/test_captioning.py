@@ -43,9 +43,22 @@ def test_cider_ranking():
     assert bad_score == pytest.approx(0.0, abs=1e-9)
 
 
+def _our_captioning_module():
+    """Load the repo's captioning_evaluation.py by path — plain import can
+    resolve to the reference's same-named module when /root/reference is on
+    sys.path from other tests."""
+    import importlib.util
+    import os
+
+    path = os.path.join(conftest.REPO_ROOT, "captioning_evaluation.py")
+    spec = importlib.util.spec_from_file_location("dvst_captioning_eval", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_caption_csv_parsing(tmp_path):
-    sys_path_anchor = __import__("sys").path
-    import captioning_evaluation as ce
+    ce = _our_captioning_module()
 
     p = tmp_path / "caps.csv"
     p.write_text(
@@ -63,7 +76,7 @@ def test_caption_csv_parsing(tmp_path):
 
 
 def test_captioning_end_to_end_metrics(tmp_path):
-    import captioning_evaluation as ce
+    ce = _our_captioning_module()
 
     caps = tmp_path / "captions_adaptive.csv"
     caps.write_text(
