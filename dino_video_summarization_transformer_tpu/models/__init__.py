@@ -1,5 +1,7 @@
 from .timesformer import (
     TimeSformerConfig,
+    aux_token_forward_features,
+    init_aux_token_timesformer,
     config_from_cfg,
     forward,
     forward_features,
@@ -16,7 +18,7 @@ from .heads import (
     linear_classifier_forward,
     multi_dino_head_forward,
 )
-from . import convert
+from . import convert, s3d, swin3d, vit2d
 
 __all__ = [
     "TimeSformerConfig",
@@ -34,4 +36,7 @@ __all__ = [
     "linear_classifier_forward",
     "multi_dino_head_forward",
     "convert",
+    "s3d",
+    "swin3d",
+    "vit2d",
 ]

@@ -288,6 +288,112 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
     return x
 
 
+def divided_block_two_token(p, x, B, T, H, W, num_heads):
+    """Divided block with a second (aux) class token
+    (ref: models/timesformer.py:124-185 with class_tokens == 2): token
+    layout [CLS, (h w t), AUX]; both class tokens join every frame's
+    spatial attention and are averaged over frames."""
+    D = x.shape[-1]
+    N = H * W
+
+    xt = x[:, 1:-1, :].reshape(B * N, T, D)
+    res_t = mhsa(p["temporal_attn"], layer_norm(p["temporal_norm1"], xt), num_heads)
+    res_t = linear(p["temporal_fc"], res_t.reshape(B, N * T, D))
+    xt = x[:, 1:-1, :] + res_t
+
+    init_cls = x[:, :1, :]
+    init_aux = x[:, -1:, :]
+    cls_rep = jnp.broadcast_to(init_cls, (B, T, D)).reshape(B * T, 1, D)
+    aux_rep = jnp.broadcast_to(init_aux, (B, T, D)).reshape(B * T, 1, D)
+    xs = xt.reshape(B, N, T, D).transpose(0, 2, 1, 3).reshape(B * T, N, D)
+    xs = jnp.concatenate([cls_rep, xs, aux_rep], axis=1)
+    res_s = mhsa(p["attn"], layer_norm(p["norm1"], xs), num_heads)
+
+    cls_out = res_s[:, 0, :].reshape(B, T, D).mean(axis=1, keepdims=True)
+    aux_out = res_s[:, -1, :].reshape(B, T, D).mean(axis=1, keepdims=True)
+    res_sp = (res_s[:, 1:-1, :].reshape(B, T, N, D)
+              .transpose(0, 2, 1, 3).reshape(B, N * T, D))
+
+    x = jnp.concatenate([init_cls, xt, init_aux], axis=1) + jnp.concatenate(
+        [cls_out, res_sp, aux_out], axis=1)
+    x = x + mlp(p["mlp"], layer_norm(p["norm2"], x))
+    return x
+
+
+def init_aux_token_timesformer(rng: jax.Array, cfg: TimeSformerConfig) -> Params:
+    """Two-token variant (ref: models/timesformer.py:515-523): adds an aux
+    class token and widens pos_embed to num_patches + 2."""
+    params = init_timesformer(rng, cfg)
+    k1, k2 = jax.random.split(jax.random.fold_in(rng, 1))
+    D = cfg.embed_dim
+    params["aux_cls_token"] = _trunc_normal(k1, (1, 1, D))
+    params["pos_embed"] = _trunc_normal(k2, (1, cfg.num_patches + 2, D))
+    return params
+
+
+def aux_token_forward_features(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: TimeSformerConfig,
+    *,
+    get_all: bool = False,
+    training: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(ref: models/timesformer.py:525-583). Returns (cls, aux) when
+    training, else their concatenation."""
+    B, C, T, Himg, Wimg = x.shape
+    ps = cfg.patch_size
+    W = Wimg // ps
+    H = Himg // ps
+    N = H * W
+    D = cfg.embed_dim
+
+    x = x.astype(compute_dtype)
+    frames = x.transpose(0, 2, 3, 4, 1).reshape(B * T, Himg, Wimg, C)
+    tok = patch_embed(params["patch_embed"], frames, ps)
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype), (B * T, 1, D))
+    aux = jnp.broadcast_to(params["aux_cls_token"].astype(compute_dtype), (B * T, 1, D))
+    xt = jnp.concatenate([cls, tok, aux], axis=1)
+
+    pe = params["pos_embed"]
+    if xt.shape[1] != pe.shape[1]:
+        # two-token resize: cls/aux ends preserved, interior nearest-resized
+        # (ref: models/timesformer.py:533-545)
+        cls_pe = pe[:, :1, :]
+        aux_pe = pe[:, -1:, :]
+        other = pe[0, 1:-1, :]
+        P = int(math.isqrt(other.shape[0]))
+        H_new = xt.shape[1] // W
+        grid = other.reshape(P, P, D)
+        grid = interp_nearest_1d(grid, H_new, axis=0)
+        grid = interp_nearest_1d(grid, W, axis=1)
+        pe = jnp.concatenate(
+            [cls_pe, grid.reshape(1, H_new * W, D), aux_pe], axis=1)
+    xt = xt + pe.astype(compute_dtype)
+
+    cls_tok = xt[:B, :1, :]
+    aux_tok = xt[:B, -1:, :]
+    spat = xt[:, 1:-1, :]
+    spat = spat.reshape(B, T, N, D).transpose(0, 2, 1, 3).reshape(B * N, T, D)
+    te = params["time_embed"]
+    if T != te.shape[1]:
+        te = interp_nearest_1d(te, T, axis=1)
+    spat = (spat + te.astype(compute_dtype)).reshape(B, N * T, D)
+    x = jnp.concatenate([cls_tok, spat, aux_tok], axis=1)
+
+    def body(carry, bp):
+        return divided_block_two_token(bp, carry, B, T, H, W, cfg.num_heads), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(params["norm"], x, eps=cfg.norm_eps)
+    if get_all:
+        return x
+    if not training:
+        return jnp.concatenate([x[:, 0], x[:, -1]], axis=1)
+    return x[:, 0], x[:, -1]
+
+
 def joint_block(p, x, num_heads, drop_path_rate=0.0, rng=None):
     """space_only / joint_space_time block (ref: models/timesformer.py:120-123)."""
     def dp(r, y):

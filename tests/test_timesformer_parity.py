@@ -132,3 +132,37 @@ def test_nearest_interp_matches_torch():
                           mode="nearest").transpose(1, 2).numpy()
         j = np.asarray(tsf.interp_nearest_1d(jnp.asarray(src), out_len, axis=1))
         np.testing.assert_array_equal(j, t)
+
+
+def test_aux_token_forward_parity():
+    """Two-token variant vs the reference AuxTokenVisionTransformer
+    (ref: models/timesformer.py:515-589)."""
+    from models.timesformer import AuxTokenVisionTransformer
+
+    torch.manual_seed(7)
+    tmodel = AuxTokenVisionTransformer(
+        img_size=32, patch_size=16, num_classes=0, embed_dim=48, depth=2,
+        num_heads=4, mlp_ratio=4, qkv_bias=True,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6), num_frames=4,
+        attention_type="divided_space_time").eval()
+    tmodel.head = nn.Identity()
+    with torch.no_grad():
+        tmodel.pos_embed.normal_(std=0.02)
+        tmodel.cls_token.normal_(std=0.02)
+        tmodel.aux_cls_token.normal_(std=0.02)
+        tmodel.time_embed.normal_(std=0.02)
+
+    jcfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=48, depth=2, num_heads=4,
+        num_frames=4, num_classes=0)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    jparams = convert.timesformer_to_pytree(sd, jcfg)
+    jparams["aux_cls_token"] = sd["aux_cls_token"]
+    jparams["pos_embed"] = sd["pos_embed"]
+
+    x = np.random.RandomState(9).randn(2, 3, 4, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        expected = tmodel(torch.from_numpy(x)).numpy()  # eval: concat(cls,aux)
+    got = np.asarray(tsf.aux_token_forward_features(
+        jparams, jnp.asarray(x), jcfg, training=False))
+    np.testing.assert_allclose(got, expected, atol=3e-5, rtol=1e-4)
