@@ -27,6 +27,7 @@ def main():
     p.add_argument("--mode", default="exact", choices=["exact", "exact-f32", "fast"])
     p.add_argument("--frames", type=int, default=480)
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--wire", default="u8", choices=["u8", "f32"])
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
@@ -59,7 +60,11 @@ def main():
                          global_subsample=4 if args.mode == "fast" else 1)
 
     T = args.frames
-    frames = np.random.RandomState(0).randn(T, 224, 224, 3).astype(np.float32)
+    if args.wire == "u8":
+        frames = np.random.RandomState(0).randint(
+            0, 256, (T, 224, 224, 3), dtype=np.uint8)
+    else:
+        frames = np.random.RandomState(0).randn(T, 224, 224, 3).astype(np.float32)
     loc, glob, eff = window_indices(T, 3, 30)
 
     # warmup / compile

@@ -72,13 +72,17 @@ class DinoLossDataset:
     """
 
     def __init__(self, cfg, mode: str, local_clip_size: int,
-                 global_clip_size: int, sampling_rate: int):
+                 global_clip_size: int, sampling_rate: int,
+                 device_preprocess: bool = False):
         self.cfg = cfg
         self.mode = mode
         self.local_clip_size = local_clip_size
         self.global_clip_size = global_clip_size
         self.sampling_rate = sampling_rate
         self.crop_size = 224
+        # device_preprocess: return center-cropped uint8 (4x fewer PCIe
+        # bytes); the scoring engine fuses /255 + mean/std on device
+        self.device_preprocess = device_preprocess
         num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS
         csv = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{mode}.csv")
         self._path_to_videos, self._labels = read_csv_entries(
@@ -113,11 +117,16 @@ class DinoLossDataset:
             out["num_frames"] = self.global_clip_size  # 30 constant entries
             return out
 
-        frames = tensor_normalize(frames_u8, self.cfg.DATA.MEAN, self.cfg.DATA.STD)
-        # center crop 224 on (T, H, W, C): reuse the TCHW helper via moveaxis
-        tchw = np.moveaxis(frames, -1, 1)
-        tchw, _ = uniform_crop(tchw, self.crop_size, spatial_idx=1)
-        frames = np.ascontiguousarray(np.moveaxis(tchw, 1, -1))
+        if self.device_preprocess:
+            # center crop on uint8 without normalizing (engine normalizes)
+            tchw = np.moveaxis(frames_u8, -1, 1)
+            tchw, _ = uniform_crop(tchw, self.crop_size, spatial_idx=1)
+            frames = np.ascontiguousarray(np.moveaxis(tchw, 1, -1))
+        else:
+            frames = tensor_normalize(frames_u8, self.cfg.DATA.MEAN, self.cfg.DATA.STD)
+            tchw = np.moveaxis(frames, -1, 1)
+            tchw, _ = uniform_crop(tchw, self.crop_size, spatial_idx=1)
+            frames = np.ascontiguousarray(np.moveaxis(tchw, 1, -1))
 
         T = frames.shape[0]
         try:

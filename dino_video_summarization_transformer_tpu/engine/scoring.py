@@ -71,6 +71,9 @@ class FrameScorer:
         self.precision = precision
         self.frame_buffer = frame_buffer
         self.global_subsample = max(1, int(global_subsample))
+        self.mean = jnp.asarray([0.45, 0.45, 0.45], jnp.float32)
+        self.std = jnp.asarray([0.225, 0.225, 0.225], jnp.float32)
+        self._prep = None
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:
@@ -146,12 +149,29 @@ class FrameScorer:
             segments.append((src0, a, b))
             a = b
 
+        is_u8 = frames.dtype == np.uint8
+        if is_u8 and self._prep is None:
+            # fused on-device preprocessing: uint8 crosses PCIe (4x fewer
+            # bytes than f32), normalize happens in one device pass
+            # (ref: dino_loss_loader.py:86 does this on the host per video)
+            mean, std, dt = self.mean, self.std, self.compute_dtype
+
+            @jax.jit
+            def prep(u8):
+                x = u8.astype(jnp.float32) / 255.0
+                return ((x - mean) / std).astype(dt)
+
+            self._prep = prep
+
         out_parts = []
         for (src0, a, b) in segments:
             seg = frames[src0:src0 + Fb]
             if seg.shape[0] < Fb:
                 seg = np.pad(seg, ((0, Fb - seg.shape[0]),) + ((0, 0),) * 3)
-            seg_dev = jnp.asarray(seg, self.compute_dtype)
+            if is_u8:
+                seg_dev = self._prep(jnp.asarray(seg))
+            else:
+                seg_dev = jnp.asarray(seg, self.compute_dtype)
             n = b - a
             loc = local_idx[a:b] - src0
             glob = global_idx[a:b] - src0

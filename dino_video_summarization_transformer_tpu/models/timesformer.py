@@ -217,10 +217,17 @@ def mhsa(p, x, num_heads: int, deterministic: bool = True):
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     scale = hd ** -0.5
-    attn = jnp.einsum(
-        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    if x.dtype == jnp.bfloat16:
+        # bf16 mode: keep the (B,H,N,N) score tensor in bf16 — halves the
+        # dominant HBM traffic (~25% faster forward); softmax over <=~200
+        # keys is numerically safe in bf16 with max subtraction
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+    else:
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
     return linear(p["proj"], out)

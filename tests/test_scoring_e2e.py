@@ -231,3 +231,15 @@ def test_cli_end_to_end(tmp_path):
     assert len(data["vidA"]) == 8   # 32/4 presampled frames
     assert len(data["vidB"]) == 12  # 48/4
     assert all(np.isfinite(v) for v in data["vidA"] + data["vidB"])
+
+
+def test_uint8_wire_matches_host_normalization():
+    """uint8 upload + on-device normalize == host-normalized f32 path."""
+    _, jparams, jcfg = small_pair(embed_dim=32, depth=1, heads=2)
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (12, 224, 224, 3), dtype=np.uint8)
+    f32 = ((u8 / 255.0 - 0.45) / 0.225).astype(np.float32)
+    loc, glob, eff = window_indices(12, 3, 30)
+    a = FrameScorer(jparams, jcfg, chunk=4).score_video(u8, loc, glob, eff)
+    b = FrameScorer(jparams, jcfg, chunk=4).score_video(f32, loc, glob, eff)
+    np.testing.assert_allclose(a, b, atol=1e-5)
