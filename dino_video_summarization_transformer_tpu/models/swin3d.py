@@ -243,6 +243,35 @@ def forward(params, x: jnp.ndarray, cfg: Swin3DConfig, *,
     return x.mean(axis=(1, 2, 3))  # AdaptiveAvgPool3d(1) + squeeze
 
 
+def inflate_2d_state_dict(sd, cfg: Swin3DConfig) -> dict:
+    """2D Swin -> 3D inflation (ref: swin_transformer.py:569-630):
+    patch-embed kernel repeated over the temporal axis and divided by its
+    length; relative position bias tables bicubic-resized spatially (if
+    needed) then tiled 2*Wd-1 times over the temporal offset axis."""
+    from .vit2d import _bicubic_resize_2d
+
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()
+          if "relative_position_index" not in k and "attn_mask" not in k}
+    pt = cfg.patch_size[0]
+    w2 = sd["patch_embed.proj.weight"]  # (E, C, ph, pw)
+    sd["patch_embed.proj.weight"] = (
+        np.repeat(w2[:, :, None], pt, axis=2) / pt)
+
+    wd, wh, ww = cfg.window_size
+    L2 = (2 * wh - 1) * (2 * ww - 1)
+    for k in [k for k in sd if "relative_position_bias_table" in k]:
+        table = sd[k]  # (L1, nH)
+        L1, nH = table.shape
+        if L1 != L2:
+            S1 = int(L1 ** 0.5)
+            grid = table.reshape(S1, S1, nH)
+            resized = np.asarray(_bicubic_resize_2d(
+                jnp.asarray(grid), 2 * wh - 1, 2 * ww - 1))
+            table = resized.reshape(L2, nH)
+        sd[k] = np.tile(table, (2 * wd - 1, 1))
+    return sd
+
+
 def swin3d_to_pytree(sd, cfg: Swin3DConfig) -> Any:
     """torch state_dict -> pytree (ref layout: patch_embed.proj Conv3d,
     layers.{i}.blocks.{j}.*, layers.{i}.downsample.*)."""

@@ -115,3 +115,62 @@ def test_tools_end_to_end(tmp_path):
     assert (tmp_path / "out" / "clipX_a.mp4").exists()
     assert (tmp_path / "out" / "clipX_u.mp4").exists()
     assert (tmp_path / "out" / "clipX_loss.png").exists()
+
+
+def test_image_dino_aug_shapes():
+    import random
+
+    from PIL import Image
+
+    from dino_video_summarization_transformer_tpu.data.image_aug import (
+        DataAugmentationDINO)
+
+    rng = random.Random(0)
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 256, (128, 160, 3), dtype=np.uint8))
+    aug = DataAugmentationDINO(local_crops_number=4, rng=rng)
+    crops = aug(img)
+    assert len(crops) == 6
+    assert crops[0].shape == (3, 224, 224)
+    assert crops[2].shape == (3, 96, 96)
+    assert all(np.isfinite(c).all() for c in crops)
+
+
+def test_cv2_transform_list_ops():
+    from dino_video_summarization_transformer_tpu.data import cv2_transform as c2
+
+    rng = np.random.RandomState(0)
+    frames = [rng.rand(40, 60, 3).astype(np.float32) for _ in range(3)]
+    scaled = c2.random_short_side_scale_jitter_list(frames, 32, 32, rng)
+    assert scaled[0].shape[0] == 32
+    cropped, _ = c2.spatial_shift_crop_list(24, scaled, 1)
+    assert cropped[0].shape[:2] == (24, 24)
+    chw = [np.moveaxis(f, -1, 0) for f in cropped]
+    flipped, _ = c2.horizontal_flip_list(1.0, chw, rng, order="CHW")
+    np.testing.assert_allclose(flipped[0][:, :, ::-1], chw[0], atol=1e-6)
+    norm = c2.color_normalization(chw[0], [0.45] * 3, [0.225] * 3)
+    assert norm.shape == chw[0].shape
+
+
+def test_swin_2d_inflation():
+    import jax.numpy as jnp
+
+    from dino_video_summarization_transformer_tpu.models import swin3d
+
+    cfg = swin3d.Swin3DConfig(patch_size=(2, 4, 4), window_size=(2, 3, 3),
+                              depths=(1,), num_heads=(2,), embed_dim=8)
+    # synthetic 2D state dict fragment
+    sd2d = {
+        "patch_embed.proj.weight": np.random.RandomState(0).randn(8, 3, 4, 4),
+        "layers.0.blocks.0.attn.relative_position_bias_table":
+            np.random.RandomState(1).randn(25, 2),  # (2*3-1)^2 for 2D w=3
+        "layers.0.blocks.0.attn.relative_position_index": np.zeros((9, 9)),
+    }
+    out = swin3d.inflate_2d_state_dict(sd2d, cfg)
+    assert out["patch_embed.proj.weight"].shape == (8, 3, 2, 4, 4)
+    np.testing.assert_allclose(
+        out["patch_embed.proj.weight"][:, :, 0] * 2,
+        sd2d["patch_embed.proj.weight"], atol=1e-6)
+    # bias table tiled over 2*Wd-1 = 3 temporal offsets
+    assert out["layers.0.blocks.0.attn.relative_position_bias_table"].shape == (75, 2)
+    assert "layers.0.blocks.0.attn.relative_position_index" not in out

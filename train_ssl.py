@@ -64,7 +64,58 @@ def get_args_parser():
     p.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
     p.add_argument("--max_steps_per_epoch", default=0, type=int,
                    help="debug: cap iterations per epoch (0 = full epoch)")
+    # online kNN evaluation hook (ref: train_ssl.py:576-599 eval_knn)
+    p.add_argument("--knn_eval_freq", default=0, type=int,
+                   help="epochs between online kNN evals (0 = off)")
+    p.add_argument("--knn_data_path", default="", type=str)
+    p.add_argument("--knn_dataset", default="ucf101", type=str)
+    p.add_argument("--nb_knn", default=5, type=int)
+    p.add_argument("--temperature", default=0.07, type=float)
+    p.add_argument("--eval_batch_size_per_gpu", default=8, type=int)
     return p
+
+
+def online_knn_eval(args, cfg, mcfg, backbone_params, epoch):
+    """Online kNN probe on the teacher backbone
+    (ref: train_ssl.py:576-599)."""
+    import numpy as np
+
+    from dino_video_summarization_transformer_tpu.data.datasets import build_dataset
+    from dino_video_summarization_transformer_tpu.engine.knn import (
+        extract_features, knn_classifier, l2_normalize)
+
+    knn_cfg = cfg.clone()
+    knn_cfg.TEST.NUM_SPATIAL_CROPS = 1
+    knn_cfg.DATA.PATH_TO_DATA_DIR = args.knn_data_path
+    if not knn_cfg.DATA.PATH_PREFIX:
+        knn_cfg.DATA.PATH_PREFIX = args.knn_data_path
+    ds_train = build_dataset(args.knn_dataset, knn_cfg, "train", num_retries=10)
+    ds_val = build_dataset(args.knn_dataset, knn_cfg, "val", num_retries=10)
+    f_train = l2_normalize(extract_features(
+        backbone_params, mcfg, _index_wrap(ds_train),
+        batch_size=args.eval_batch_size_per_gpu, num_workers=args.num_workers))
+    f_val = l2_normalize(extract_features(
+        backbone_params, mcfg, _index_wrap(ds_val),
+        batch_size=args.eval_batch_size_per_gpu, num_workers=args.num_workers))
+    top1, top5 = knn_classifier(
+        f_train, np.asarray(ds_train.labels, np.int64),
+        f_val, np.asarray(ds_val.labels, np.int64),
+        args.nb_knn, args.temperature, num_classes=max(ds_train.labels) + 1)
+    print(f"[epoch {epoch}] online kNN: top1 {top1:.2f} top5 {top5:.2f}",
+          flush=True)
+    return {"knn_top1": top1, "knn_top5": top5}
+
+
+def _index_wrap(ds):
+    class W:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            clip, _, _, _ = ds[i]
+            return clip, i
+
+    return W()
 
 
 def train_svt(args):
@@ -204,6 +255,11 @@ def train_svt(args):
         train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
         log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
                      "epoch": epoch}
+        if (args.knn_eval_freq and args.knn_data_path
+                and (epoch % args.knn_eval_freq == 0 or epoch == args.epochs - 1)):
+            log_stats.update(online_knn_eval(
+                args, cfg, mcfg, jax.device_get(state.teacher)["backbone"],
+                epoch))
         if is_main_process():
             with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
