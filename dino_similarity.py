@@ -54,6 +54,10 @@ def get_args_parser():
     p.add_argument("--precision", default="float32",
                    choices=["float32", "bfloat16"],
                    help="float32 = reference-compat numerics; bfloat16 = fast")
+    p.add_argument("--global_subsample", default=1, type=int,
+                   help=">1 = fast mode: sample every k-th frame of the "
+                        "teacher window (k=4 -> native T=8, ~3x faster; "
+                        "scores differ from the reference)")
     return p
 
 
@@ -92,7 +96,10 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
     scorer = FrameScorer(
         params, mcfg, local_size=local_clip_size, global_size=global_clip_size,
         chunk=cli.batch_size_per_gpu, compute_dtype=compute_dtype,
-        precision="highest" if cli.precision == "float32" else None)
+        precision="highest" if cli.precision == "float32" else None,
+        global_subsample=cli.global_subsample)
+    if cli.global_subsample > 1 and cli.precision == "float32":
+        print("NOTE: --global_subsample changes scores; f32 parity does not apply")
 
     run_scoring(dataset, scorer, file_path, num_workers=cli.num_workers,
                 shard_id=cli.shard_id, num_shards=cli.num_shards)

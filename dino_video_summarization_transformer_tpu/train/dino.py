@@ -104,6 +104,49 @@ def dino_loss(
     return total_loss, new_center
 
 
+def dino_loss_two_token(
+    student_pair,
+    teacher_pair,
+    center: jnp.ndarray,
+    temp,
+    student_temp: float = 0.1,
+    center_momentum: float = 0.9,
+    axis_name: Optional[str] = None,
+):
+    """Two-token DINO loss (ref: train_ssl.py:632-651): 4 student chunks,
+    2 teacher chunks per token stream; views 0-1 learn from the main
+    teacher's first chunk, views 2-3 from the aux teacher's second chunk.
+    center is (2, out_dim); returns (loss, new_center)."""
+    s_main = student_pair[0].astype(jnp.float32) / student_temp
+    s_aux = student_pair[1].astype(jnp.float32) / student_temp
+    t_main = jax.lax.stop_gradient(jax.nn.softmax(
+        (teacher_pair[0].astype(jnp.float32) - center[0]) / temp, axis=-1))
+    t_aux = jax.lax.stop_gradient(jax.nn.softmax(
+        (teacher_pair[1].astype(jnp.float32) - center[1]) / temp, axis=-1))
+
+    s_main_chunks = jnp.split(s_main, 4, axis=0)
+    s_aux_chunks = jnp.split(s_aux, 4, axis=0)
+    q_main = jnp.split(t_main, 2, axis=0)[0]
+    q_aux = jnp.split(t_aux, 2, axis=0)[1]
+
+    total = 0.0
+    for iv in range(4):
+        if iv < 2:
+            q, v = q_main, s_main_chunks[iv]
+        else:
+            q, v = q_aux, s_aux_chunks[iv]
+        total += jnp.mean(jnp.sum(-q * jax.nn.log_softmax(v, axis=-1), axis=-1))
+    total = total / 4.0
+
+    new_center = jnp.stack([
+        update_center(teacher_pair[0].astype(jnp.float32), center[0][None],
+                      center_momentum, axis_name)[0],
+        update_center(teacher_pair[1].astype(jnp.float32), center[1][None],
+                      center_momentum, axis_name)[0],
+    ])
+    return total, new_center
+
+
 def update_center(
     teacher_output: jnp.ndarray,
     center: jnp.ndarray,

@@ -46,22 +46,32 @@ def init_train_state(
     optimizer: str = "adamw",
     momentum: float = 0.9,
     pretrained_backbone=None,
+    two_token: bool = False,
 ) -> tuple[TrainState, Any, Any]:
     """Build student/teacher (+head) and optimizer. Teacher starts as a copy
-    of the student (ref: train_ssl.py:330-333)."""
+    of the student (ref: train_ssl.py:330-333). two_token switches to the
+    aux-token backbone + dual DINO head + (2, out_dim) center
+    (ref: train_ssl.py:610-620)."""
+    from ..models.heads import init_multi_dino_head
+
     k1, k2 = jax.random.split(rng)
-    backbone = (pretrained_backbone if pretrained_backbone is not None
-                else tsf.init_timesformer(k1, model_cfg))
-    student = {
-        "backbone": backbone,
-        "head": init_dino_head(k2, model_cfg.embed_dim, out_dim),
-    }
+    if two_token:
+        backbone = (pretrained_backbone if pretrained_backbone is not None
+                    else tsf.init_aux_token_timesformer(k1, model_cfg))
+        head = init_multi_dino_head(k2, model_cfg.embed_dim, out_dim)
+        center = jnp.zeros((2, out_dim))
+    else:
+        backbone = (pretrained_backbone if pretrained_backbone is not None
+                    else tsf.init_timesformer(k1, model_cfg))
+        head = init_dino_head(k2, model_cfg.embed_dim, out_dim)
+        center = jnp.zeros((1, out_dim))
+    student = {"backbone": backbone, "head": head}
     teacher = jax.tree.map(jnp.copy, student)
     core, mask = build_optimizer(optimizer, student, momentum=momentum)
     state = TrainState(
         student=student,
         teacher=teacher,
-        center=jnp.zeros((1, out_dim)),
+        center=center,
         opt_state=core.init(student),
         step=jnp.zeros((), jnp.int32),
     )
@@ -79,20 +89,52 @@ def make_train_step(
     compute_dtype=jnp.float32,
     mesh=None,
     donate: bool = True,
+    remat: bool = False,
+    two_token: bool = False,
 ):
     """Returns jitted step(state, global_crops, local_crops, lr, wd,
     teacher_momentum, teacher_temp, freeze_flag) -> (state, metrics).
 
     global_crops: (2*B, C, T, S, S); local_crops: (n_local*B, C, T, s, s).
-    n_crops = 2 + n_local (ref: train_ssl.py:356-365).
+    n_crops = 2 + n_local (ref: train_ssl.py:356-365). ``remat``
+    rematerializes the student forwards (activation memory ~O(depth) ->
+    O(1) at ~30% extra FLOPs); ``two_token`` runs the aux-token model with
+    the dual head and two-stream loss (ref: train_ssl.py:610-651).
     """
     n_crops = 2 + n_local_crops
 
+    def fwd_student(params, x):
+        return tsf.forward(params, x, model_cfg, compute_dtype=compute_dtype)
+
+    if remat:
+        fwd_student = jax.checkpoint(fwd_student)
+
     def loss_fn(student, teacher, center, g_crops, l_crops, teacher_temp):
-        s_g = tsf.forward(student["backbone"], g_crops, model_cfg,
-                          compute_dtype=compute_dtype)
-        s_l = tsf.forward(student["backbone"], l_crops, model_cfg,
-                          compute_dtype=compute_dtype)
+        if two_token:
+            from ..models.heads import multi_dino_head_forward
+            from .dino import dino_loss_two_token
+
+            # two_token uses 4 student views: 2 global + 2 local
+            # (ref: train_ssl.py:609 n_crops=4, decoder.py:401-414)
+            s_g = tsf.aux_token_forward_features(
+                student["backbone"], g_crops, model_cfg, training=True,
+                compute_dtype=compute_dtype)
+            s_l = tsf.aux_token_forward_features(
+                student["backbone"], l_crops, model_cfg, training=True,
+                compute_dtype=compute_dtype)
+            s_pair = (jnp.concatenate([s_g[0], s_l[0]], axis=0),
+                      jnp.concatenate([s_g[1], s_l[1]], axis=0))
+            s_out = multi_dino_head_forward(student["head"], s_pair)
+            t_g = tsf.aux_token_forward_features(
+                teacher["backbone"], g_crops, model_cfg, training=True,
+                compute_dtype=compute_dtype)
+            t_out = multi_dino_head_forward(teacher["head"], t_g)
+            t_out = jax.lax.stop_gradient(t_out)
+            return dino_loss_two_token(
+                s_out, t_out, center, teacher_temp,
+                student_temp=student_temp, center_momentum=center_momentum)
+        s_g = fwd_student(student["backbone"], g_crops)
+        s_l = fwd_student(student["backbone"], l_crops)
         s_out = dino_head_forward(
             student["head"], jnp.concatenate([s_g, s_l], axis=0))
         t_g = tsf.forward(teacher["backbone"], g_crops, model_cfg,

@@ -103,3 +103,37 @@ def test_build_schedules():
     assert len(lr) == len(wd) == len(mom) == 70
     assert mom[-1] == pytest.approx(1.0, abs=2e-3)
     assert lr[0] == 0.0  # warmup from 0
+
+
+def test_remat_matches_no_remat(tiny_setup):
+    """jax.checkpoint rematerialization must not change the update."""
+    cfg, state, core, mask, g, l = tiny_setup
+    s_a, m_a = make_train_step(cfg, core, mask, n_local_crops=2, donate=False)(
+        state, jnp.asarray(g), jnp.asarray(l), 1e-3, 1e-4, 0.99, 0.04, False)
+    s_b, m_b = make_train_step(cfg, core, mask, n_local_crops=2, donate=False,
+                               remat=True)(
+        state, jnp.asarray(g), jnp.asarray(l), 1e-3, 1e-4, 0.99, 0.04, False)
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(s_a.student), jax.tree.leaves(s_b.student)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_two_token_train_step():
+    """Two-token training path: aux-token backbone + dual head +
+    two-stream loss with (2, out_dim) center."""
+    # crop sizes where the reference's integer-truncated pos-embed resize
+    # geometry is self-consistent for two tokens (64: 16+2 tokens, W=4;
+    # 48: 9+2 tokens, W=3)
+    cfg = vit_tiny_config(num_frames=2, num_classes=0, img_size=64)
+    state, core, mask = init_train_state(
+        jax.random.key(0), cfg, out_dim=64, optimizer="adamw", two_token=True)
+    assert state.center.shape == (2, 64)
+    step = make_train_step(cfg, core, mask, n_local_crops=2, donate=False,
+                           two_token=True)
+    rng = np.random.RandomState(0)
+    B = 2
+    g = jnp.asarray(rng.randn(2 * B, 3, 2, 64, 64), jnp.float32)
+    l = jnp.asarray(rng.randn(2 * B, 3, 2, 48, 48), jnp.float32)
+    state2, metrics = step(state, g, l, 1e-3, 1e-4, 0.99, 0.04, False)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(jnp.abs(state2.center).max()) > 0

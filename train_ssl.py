@@ -64,6 +64,10 @@ def get_args_parser():
     p.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
     p.add_argument("--max_steps_per_epoch", default=0, type=int,
                    help="debug: cap iterations per epoch (0 = full epoch)")
+    p.add_argument("--two_token", default=False, type=bool_flag,
+                   help="aux-token model + dual DINO head (MODEL.TWO_TOKEN)")
+    p.add_argument("--use_remat", default=False, type=bool_flag,
+                   help="rematerialize student forwards (larger batches)")
     # online kNN evaluation hook (ref: train_ssl.py:576-599 eval_knn)
     p.add_argument("--knn_eval_freq", default=0, type=int,
                    help="epochs between online kNN evals (0 = off)")
@@ -187,18 +191,20 @@ def train_svt(args):
             args.pretrained_rgb, mcfg, checkpoint_key="teacher")
         print(f"Loaded pretrained RGB backbone from {args.pretrained_rgb}")
 
+    two_token = args.two_token or cfg.MODEL.TWO_TOKEN
     state, core, mask = init_train_state(
         jax.random.key(args.seed), mcfg, out_dim=args.out_dim,
         optimizer=args.optimizer,
-        pretrained_backbone=pretrained_backbone)
+        pretrained_backbone=pretrained_backbone, two_token=two_token)
 
     mesh = build_mesh()
     state = jax.device_put(state, replicated(mesh))
     step_fn = make_train_step(
-        mcfg, core, mask, n_local_crops=args.local_crops_number,
+        mcfg, core, mask,
+        n_local_crops=2 if two_token else args.local_crops_number,
         clip_grad=args.clip_grad,
         compute_dtype=jnp.bfloat16 if args.use_fp16 else jnp.float32,
-        mesh=mesh)
+        mesh=mesh, remat=args.use_remat, two_token=two_token)
     d_shard = data_sharding(mesh)
 
     # ---------------- schedules --------------------------------------------
