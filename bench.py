@@ -26,10 +26,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="exact", choices=["exact", "exact-f32", "fast"])
     p.add_argument("--frames", type=int, default=480)
-    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=0,
+                   help="0 = auto (16 exact / 32 fast)")
     p.add_argument("--wire", default="u8", choices=["u8", "f32"])
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
+    if not args.chunk:
+        args.chunk = 32 if args.mode == "fast" else 16
 
     from dino_video_summarization_transformer_tpu.utils.cache import (
         enable_compilation_cache)

@@ -174,3 +174,19 @@ def test_swin_2d_inflation():
     # bias table tiled over 2*Wd-1 = 3 temporal offsets
     assert out["layers.0.blocks.0.attn.relative_position_bias_table"].shape == (75, 2)
     assert "layers.0.blocks.0.attn.relative_position_index" not in out
+
+
+def test_all_config_variants_load():
+    import glob
+
+    from dino_video_summarization_transformer_tpu.config import get_cfg
+
+    paths = glob.glob(os.path.join(conftest.REPO_ROOT, "configs/**/*.yaml"),
+                      recursive=True)
+    assert len(paths) >= 7
+    for p in paths:
+        cfg = get_cfg()
+        cfg.merge_from_file(p)
+        assert cfg.DATA.NUM_FRAMES >= 1
+        assert cfg.TIMESFORMER.ATTENTION_TYPE in (
+            "divided_space_time", "joint_space_time", "space_only")
