@@ -1,7 +1,9 @@
 from .timesformer import (
     TimeSformerConfig,
     aux_token_forward_features,
+    flow_token_forward_features,
     init_aux_token_timesformer,
+    init_flow_token_timesformer,
     config_from_cfg,
     forward,
     forward_features,

@@ -401,6 +401,44 @@ def aux_token_forward_features(
     return x[:, 0], x[:, -1]
 
 
+def init_flow_token_timesformer(rng: jax.Array, cfg: TimeSformerConfig) -> Params:
+    """Flow-token variant (ref: models/timesformer.py:429-440): an aux-token
+    model with a second patch embedding for the optical-flow stream."""
+    params = init_aux_token_timesformer(rng, cfg)
+    k = jax.random.fold_in(rng, 2)
+    params["flow_patch_embed"] = {
+        "proj": _linear_init(k, cfg.patch_size * cfg.patch_size * cfg.in_chans,
+                             cfg.embed_dim)
+    }
+    return params
+
+
+def flow_token_forward_features(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: TimeSformerConfig,
+    *,
+    is_flow: bool = False,
+    get_all: bool = False,
+    training: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(ref: models/timesformer.py:442-512): RGB inputs use the main patch
+    embed and return the CLS stream; flow inputs use flow_patch_embed and
+    return the AUX stream; eval returns their concatenation."""
+    pe_params = (params["flow_patch_embed"] if is_flow
+                 else params["patch_embed"])
+    swapped = dict(params)
+    swapped["patch_embed"] = pe_params
+    out = aux_token_forward_features(
+        swapped, x, cfg, get_all=get_all, training=training,
+        compute_dtype=compute_dtype)
+    if get_all or not training:
+        return out
+    cls_feat, aux_feat = out
+    return aux_feat if is_flow else cls_feat
+
+
 def joint_block(p, x, num_heads, drop_path_rate=0.0, rng=None):
     """space_only / joint_space_time block (ref: models/timesformer.py:120-123)."""
     def dp(r, y):

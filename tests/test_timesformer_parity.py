@@ -166,3 +166,49 @@ def test_aux_token_forward_parity():
     got = np.asarray(tsf.aux_token_forward_features(
         jparams, jnp.asarray(x), jcfg, training=False))
     np.testing.assert_allclose(got, expected, atol=3e-5, rtol=1e-4)
+
+
+def test_flow_token_forward_parity():
+    """Flow-token variant vs the reference FlowTokenVisionTransformer
+    (ref: models/timesformer.py:429-512)."""
+    from models.timesformer import FlowTokenVisionTransformer
+
+    torch.manual_seed(11)
+    tmodel = FlowTokenVisionTransformer(
+        img_size=32, patch_size=16, num_classes=0, embed_dim=48, depth=2,
+        num_heads=4, mlp_ratio=4, qkv_bias=True,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6), num_frames=4,
+        attention_type="divided_space_time").eval()
+    tmodel.head = nn.Identity()
+    with torch.no_grad():
+        tmodel.pos_embed.normal_(std=0.02)
+        tmodel.cls_token.normal_(std=0.02)
+        tmodel.aux_cls_token.normal_(std=0.02)
+        tmodel.time_embed.normal_(std=0.02)
+
+    jcfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=48, depth=2, num_heads=4,
+        num_frames=4, num_classes=0)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    jparams = convert.timesformer_to_pytree(
+        {k: v for k, v in sd.items() if not k.startswith("flow_patch_embed")},
+        jcfg)
+    jparams["aux_cls_token"] = sd["aux_cls_token"]
+    jparams["pos_embed"] = sd["pos_embed"]
+    w = sd["flow_patch_embed.proj.weight"]
+    D, C, ps, _ = w.shape
+    jparams["flow_patch_embed"] = {"proj": {
+        "kernel": w.transpose(2, 3, 1, 0).reshape(ps * ps * C, D),
+        "bias": sd["flow_patch_embed.proj.bias"]}}
+
+    x = np.random.RandomState(12).randn(2, 3, 4, 32, 32).astype(np.float32)
+    # eval mode: concat(cls, aux) for both streams
+    with torch.no_grad():
+        exp_rgb = tmodel(torch.from_numpy(x)).numpy()
+        exp_flow = tmodel(torch.from_numpy(x), is_flow=True).numpy()
+    got_rgb = np.asarray(tsf.flow_token_forward_features(
+        jparams, jnp.asarray(x), jcfg, is_flow=False, training=False))
+    got_flow = np.asarray(tsf.flow_token_forward_features(
+        jparams, jnp.asarray(x), jcfg, is_flow=True, training=False))
+    np.testing.assert_allclose(got_rgb, exp_rgb, atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(got_flow, exp_flow, atol=3e-5, rtol=1e-4)
