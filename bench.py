@@ -29,7 +29,8 @@ def main():
     p.add_argument("--chunk", type=int, default=0,
                    help="0 = auto (16 exact / 32 fast)")
     p.add_argument("--wire", default="u8", choices=["u8", "f32"])
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=5,
+                   help="best-of; the shared TPU tunnel has high variance")
     args = p.parse_args()
     if not args.chunk:
         args.chunk = 32 if args.mode == "fast" else 16

@@ -55,6 +55,7 @@ class FrameScorer:
         precision: Optional[str] = "highest",
         frame_buffer: int = FRAME_BUFFER,
         global_subsample: int = 1,
+        use_pallas: str | bool = "auto",
     ):
         # global_subsample > 1 = "fast mode": the teacher window keeps its
         # +/-15-frame span but samples every k-th frame, e.g. k=4 turns the
@@ -74,6 +75,13 @@ class FrameScorer:
         self.mean = jnp.asarray([0.45, 0.45, 0.45], jnp.float32)
         self.std = jnp.asarray([0.225, 0.225, 0.225], jnp.float32)
         self._prep = None
+        # fused Pallas attention is available but measured ~10% SLOWER than
+        # the XLA path on a quiet chip once the bf16-softmax optimization
+        # landed (hd=64 lane padding eats the fusion win) — opt-in only.
+        if use_pallas is True:
+            from ..ops.attention import use_pallas_attention
+
+            use_pallas_attention(True)
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:
