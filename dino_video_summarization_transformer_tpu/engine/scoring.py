@@ -1,4 +1,4 @@
-"""Per-frame DINO importance scoring — the batched TPU pipeline.
+"""Per-frame DINO importance scoring — the batched, pipelined TPU pipeline.
 
 Re-designs the reference's scoring loop (ref: dino_similarity.py:16-93) for
 TPU execution:
@@ -8,15 +8,20 @@ reference (GPU):  per video, materialize a (2T, 3, 30, 224, 224) view tensor
                   then per batch run two forwards and a *per-frame Python
                   loop with .item() syncs* (ref: dino_similarity.py:87-88).
 
-here (TPU):       the video's frames live in a fixed-size device buffer
-                  (FRAME_BUFFER frames); local/global windows are *gathered
-                  on device* by index; a chunk of frames is scored per
-                  device call (two batched forwards + a vectorized loss).
-                  Long videos are split into overlapping segments whose
-                  halos cover the +/-15-frame window reach, so EVERY video
-                  runs through the same compiled program — no per-length
-                  recompilation, and chunk dispatches are pipelined
-                  (device arrays are only synced once per video).
+here (TPU):       each frame crosses the wire ONCE, as uint8, in PIECE-frame
+                  slices fired asynchronously ahead of compute so the
+                  host->device transfer overlaps the forwards; local/global
+                  windows are *gathered on device* by index from a window of
+                  resident pieces; a chunk of frames is scored per device
+                  call (two batched forwards + a vectorized loss). Every
+                  video of any length runs through the same compiled
+                  programs, dispatches are queued without host syncs, and
+                  results are fetched once per pass.
+
+Approximation knobs (validated by tools/validate_fast_scoring.py, table in
+BENCH.md): ``global_subsample`` samples the teacher window, ``teacher_stride``
+interpolates teacher CLS features between strided teacher forwards,
+``score_stride`` interpolates the loss itself between scored frames.
 
 Numerics: reference-compat mode runs float32 with HIGHEST matmul precision
 (bit-matching the GPU reference to ~1e-5); production mode runs bfloat16.
@@ -36,7 +41,76 @@ import numpy as np
 from ..models import timesformer as tsf
 from ..train.dino import scoring_dino_loss
 
-FRAME_BUFFER = 512  # device-resident frames per segment
+FRAME_BUFFER = 512   # retained for API compat; the pipeline is piece-based
+PIECE = 64           # frames per async upload piece
+MAX_INFLIGHT = 16    # outstanding chunk dispatches before draining
+MAX_RESIDENT_PIECES = 48  # ~3072 uint8 224px frames (~460 MB) held on device
+
+
+class _PieceBuffer:
+    """The video's frames on device as PIECE-frame slices.
+
+    ``jax.device_put`` is asynchronous and rides the transfer stream, so
+    firing piece uploads ahead of the compute dispatches makes the wire
+    transfer overlap the forwards (on the bench tunnel the wire runs
+    ~36 MB/s, which would otherwise serialize ~2 s per 480-frame video in
+    front of the compute). Pieces stay in their wire dtype (uint8 — 1 B/px
+    of HBM); normalization happens inside the chunk kernels after the
+    gather, so no computation is enqueued per piece — an on-device prep
+    pass would execute in launch order on the compute stream and couple
+    every later chunk to every earlier transfer. Pieces are evicted once
+    the monotonically advancing chunk cursor passes them.
+    """
+
+    def __init__(self, frames: np.ndarray, piece: int = PIECE):
+        self.frames = frames
+        self.piece = piece
+        self.n_pieces = -(-frames.shape[0] // piece)
+        self._pieces: Dict[int, jnp.ndarray] = {}
+        self._zero: Optional[jnp.ndarray] = None
+        self._spans: Dict[tuple, jnp.ndarray] = {}
+        self._fired = 0  # pieces uploaded so far (always in order)
+
+    def fire_until(self, i: int) -> None:
+        """Asynchronously upload pieces [fired, i)."""
+        P = self.piece
+        while self._fired < min(i, self.n_pieces):
+            j = self._fired
+            sl = self.frames[j * P:(j + 1) * P]
+            if sl.shape[0] < P:
+                sl = np.pad(sl, ((0, P - sl.shape[0]),) + ((0, 0),) * 3)
+            self._pieces[j] = jax.device_put(sl)
+            self._fired += 1
+
+    def _piece(self, i: int) -> jnp.ndarray:
+        if i >= self.n_pieces:
+            if self._zero is None:
+                shape = (self.piece,) + self.frames.shape[1:]
+                self._zero = jnp.zeros(shape, self.frames.dtype)
+            return self._zero
+        self.fire_until(i + 1)
+        if i not in self._pieces:  # evicted earlier; re-fire transparently
+            P = self.piece
+            sl = self.frames[i * P:(i + 1) * P]
+            if sl.shape[0] < P:
+                sl = np.pad(sl, ((0, P - sl.shape[0]),) + ((0, 0),) * 3)
+            self._pieces[i] = jax.device_put(sl)
+        return self._pieces[i]
+
+    def span(self, i0: int, K: int) -> jnp.ndarray:
+        """(K*piece, H, W, C) buffer of pieces [i0, i0+K)."""
+        key = (i0, K)
+        if key not in self._spans:
+            self._spans = {k: v for k, v in self._spans.items()
+                           if k[0] + k[1] > i0}  # retire stale concats
+            self._spans[key] = jnp.concatenate(
+                [self._piece(i) for i in range(i0, i0 + K)], axis=0)
+        return self._spans[key]
+
+    def evict_below(self, i0: int) -> None:
+        for j in list(self._pieces):
+            if j < i0:
+                del self._pieces[j]
 
 
 class FrameScorer:
@@ -55,13 +129,33 @@ class FrameScorer:
         precision: Optional[str] = "highest",
         frame_buffer: int = FRAME_BUFFER,
         global_subsample: int = 1,
+        teacher_stride: int = 1,
+        score_stride: int = 1,
         use_pallas: str | bool = "auto",
+        piece: int = PIECE,
     ):
-        # global_subsample > 1 = "fast mode": the teacher window keeps its
-        # +/-15-frame span but samples every k-th frame, e.g. k=4 turns the
-        # 30-frame teacher clip into 8 frames — the model's NATIVE temporal
-        # extent (no time-embed extrapolation) at ~4x the throughput.
-        # Scores differ from the reference; not for bit-parity runs.
+        # Three approximation knobs, orthogonal and composable (all = 1 ->
+        # reference-exact scores). Quality is quantified by
+        # tools/validate_fast_scoring.py; see BENCH.md for the measured
+        # Spearman / selection-agreement table.
+        #
+        # global_subsample s > 1: the teacher window keeps its +/-15-frame
+        #   span but samples every s-th frame, e.g. s=4 turns the 30-frame
+        #   teacher clip into 8 frames — the model's NATIVE temporal extent
+        #   (no time-embed extrapolation) at ~3.7x less teacher compute.
+        #
+        # teacher_stride k > 1: the teacher forward runs only at every k-th
+        #   scored frame; intermediate frames get linearly interpolated
+        #   teacher CLS features. Valid because consecutive global windows
+        #   overlap 29/30 frames — the teacher feature curve is smooth in
+        #   the window position (unlike the per-frame loss itself).
+        #
+        # score_stride m > 1: only every m-th frame is scored at all;
+        #   intermediate per-frame losses are linearly interpolated. The
+        #   loss curve carries frame-rate noise, so this trades selection
+        #   fidelity for throughput much faster than teacher_stride does —
+        #   measured on the committed reference scores
+        #   (loss_msvd_4_3_30.json) in tests/test_fast_scoring.py.
         self.model_cfg = model_cfg
         self.local_size = local_size
         self.global_size = global_size
@@ -70,8 +164,10 @@ class FrameScorer:
         self.student_temp = student_temp
         self.compute_dtype = compute_dtype
         self.precision = precision
-        self.frame_buffer = frame_buffer
+        self.piece = piece
         self.global_subsample = max(1, int(global_subsample))
+        self.teacher_stride = max(1, int(teacher_stride))
+        self.score_stride = max(1, int(score_stride))
         self.mean = jnp.asarray([0.45, 0.45, 0.45], jnp.float32)
         self.std = jnp.asarray([0.225, 0.225, 0.225], jnp.float32)
         self._prep = None
@@ -87,115 +183,217 @@ class FrameScorer:
         else:
             params = jax.tree.map(jnp.asarray, params)
         self.params = params
-        self._jitted: Dict[int, callable] = {}
+        self._jitted: Dict[object, object] = {}
         self._dummy_loss: Optional[float] = None
 
-    # -- compiled kernel ------------------------------------------------------
+    # -- compiled kernels ------------------------------------------------------
+
+    def _wrap(self, fn):
+        if self.precision:
+            fn = partial(_with_matmul_precision, self.precision, fn)
+        return jax.jit(fn)
+
+    def _gather_views(self, frames, idx, n_view):
+        """Gather (chunk, n_view, H, W, C) windows from the piece span and
+        normalize: uint8 wire data is converted to normalized compute dtype
+        here, INSIDE the chunk kernel — doing it per uploaded piece would
+        enqueue a computation per piece and serialize the compute stream
+        behind every transfer (in-order launch semantics)."""
+        v = jnp.take(frames, idx.reshape(-1), axis=0)
+        v = v.reshape(self.chunk, n_view, *frames.shape[1:])
+        if v.dtype == jnp.uint8:
+            vf = v.astype(jnp.float32) / 255.0
+            v = ((vf - self.mean) / self.std)
+        v = v.astype(self.compute_dtype)
+        return v.transpose(0, 4, 1, 2, 3)  # (B, T, H, W, C) -> (B, C, T, H, W)
 
     def _build(self, eff_global: int):
+        """Fused exact kernel: both forwards + loss for a chunk of frames."""
         cfg = self.model_cfg
-        chunk = self.chunk
         dtype = self.compute_dtype
 
         def score_chunk(params, frames, loc_idx, glob_idx):
-            # frames (Fb, H, W, C); loc_idx (chunk, L); glob_idx (chunk, G)
-            local = jnp.take(frames, loc_idx.reshape(-1), axis=0)
-            local = local.reshape(chunk, self.local_size, *frames.shape[1:])
-            glob = jnp.take(frames, glob_idx.reshape(-1), axis=0)
-            glob = glob.reshape(chunk, eff_global, *frames.shape[1:])
-            # (B, T, H, W, C) -> (B, C, T, H, W)
-            local = local.transpose(0, 4, 1, 2, 3)
-            glob = glob.transpose(0, 4, 1, 2, 3)
+            local = self._gather_views(frames, loc_idx, self.local_size)
+            glob = self._gather_views(frames, glob_idx, eff_global)
             s = tsf.forward(params, local, cfg, compute_dtype=dtype)
             t = tsf.forward(params, glob, cfg, compute_dtype=dtype)
             return scoring_dino_loss(
                 s, t, teacher_temp=self.teacher_temp,
                 student_temp=self.student_temp)
 
-        if self.precision:
-            score_chunk = partial(
-                _with_matmul_precision, self.precision, score_chunk)
-        return jax.jit(score_chunk)
+        return self._wrap(score_chunk)
+
+    def _build_teacher(self, eff_global: int):
+        """(params, frames, glob_idx (chunk, G)) -> (chunk, D) f32 CLS."""
+        cfg = self.model_cfg
+        dtype = self.compute_dtype
+
+        def teacher_chunk(params, frames, glob_idx):
+            glob = self._gather_views(frames, glob_idx, eff_global)
+            return tsf.forward(params, glob, cfg,
+                               compute_dtype=dtype).astype(jnp.float32)
+
+        return self._wrap(teacher_chunk)
+
+    def _build_student(self):
+        """(params, frames, loc_idx (chunk, L), t_feats (chunk, D)) ->
+        (chunk,) per-frame losses against the provided teacher features."""
+        cfg = self.model_cfg
+        dtype = self.compute_dtype
+
+        def student_chunk(params, frames, loc_idx, t_feats):
+            local = self._gather_views(frames, loc_idx, self.local_size)
+            s = tsf.forward(params, local, cfg, compute_dtype=dtype)
+            return scoring_dino_loss(
+                s, t_feats, teacher_temp=self.teacher_temp,
+                student_temp=self.student_temp)
+
+        return self._wrap(student_chunk)
 
     def _get(self, eff_global: int):
         if eff_global not in self._jitted:
             self._jitted[eff_global] = self._build(eff_global)
         return self._jitted[eff_global]
 
+    def _get_split(self, eff_global: int):
+        key = ("split", eff_global)
+        if key not in self._jitted:
+            self._jitted[key] = (self._build_teacher(eff_global),
+                                 self._build_student())
+        return self._jitted[key]
+
+    def _make_buffer(self, frames: np.ndarray) -> _PieceBuffer:
+        if frames.dtype != np.uint8:
+            # normalized-float input: ship in compute dtype (bf16 halves
+            # the wire bytes vs f32); uint8 ships as-is (1 B/px)
+            frames = frames.astype(np.dtype(self.compute_dtype))
+        return _PieceBuffer(frames, self.piece)
+
+    # -- chunk runner ------------------------------------------------------------
+
+    def _run_chunks(self, fn, buf: _PieceBuffer, positions: np.ndarray,
+                    idx_mats: List[np.ndarray], extra_rows=None,
+                    evict: bool = True) -> np.ndarray:
+        """Run a chunked kernel over a subset of frame positions.
+
+        fn(params, span, *idx_chunks[, extra_chunk]) -> (chunk, ...).
+        ``idx_mats`` are (T, W_i) window-index maps in the video timeline;
+        rows are taken at ``positions``. Pieces are uploaded ahead of the
+        compute dispatches (LOOKAHEAD pieces) and evicted behind them;
+        results are fetched once at the end.
+        """
+        chunk = self.chunk
+        P = buf.piece
+        n_pos = len(positions)
+        lookahead = 8
+
+        # per-chunk piece spans; K = max span so all chunks share one shape
+        chunk_rows = [positions[c0:c0 + chunk]
+                      for c0 in range(0, n_pos, chunk)]
+        spans = []
+        K = 1
+        for rows in chunk_rows:
+            mats = [m[rows] for m in idx_mats]
+            lo = min(int(m.min()) for m in mats)
+            hi = max(int(m.max()) for m in mats)
+            i0 = lo // P
+            k = hi // P - i0 + 1
+            K = max(K, k)
+            spans.append((i0, mats))
+
+        outs = []
+        inflight: List[jnp.ndarray] = []
+        for ci, ((i0, mats), rows) in enumerate(zip(spans, chunk_rows)):
+            if evict:
+                buf.evict_below(i0)
+            buf.fire_until(i0 + K + lookahead)
+            span = buf.span(i0, K)
+            n = len(rows)
+            args = [self.params, span]
+            for m in mats:
+                rel = m - i0 * P
+                if n < chunk:
+                    rel = np.pad(rel, ((0, chunk - n), (0, 0)))
+                args.append(jnp.asarray(rel))
+            if extra_rows is not None:
+                ex = extra_rows[ci * chunk:ci * chunk + n]
+                if n < chunk:
+                    ex = np.pad(ex, ((0, chunk - n), (0, 0)))
+                args.append(jnp.asarray(ex))
+            out = fn(*args)
+            inflight.append(out)
+            outs.append((out, n))
+            if len(inflight) > MAX_INFLIGHT:
+                # drain the oldest dispatch so the device queue (and piece
+                # memory for very long videos) stays bounded
+                inflight.pop(0).block_until_ready()
+        return np.concatenate([np.asarray(o)[:n] for o, n in outs])
+
     # -- public API ------------------------------------------------------------
 
     def score_video(self, frames: np.ndarray, local_idx: np.ndarray,
                     global_idx: np.ndarray, eff_global: int) -> np.ndarray:
-        """frames (T, H, W, C) float32 normalized; returns (T,) losses.
-
-        Splits into segments of ``frame_buffer`` frames with window-reach
-        halos; within a segment, chunks of frames are dispatched without
-        host syncs (one sync at the end of the video).
+        """frames (T, H, W, C) float32 normalized or uint8; returns (T,)
+        losses. Uploads are pipelined with compute; one host sync per pass.
         """
-        T = frames.shape[0]
-        Fb = self.frame_buffer
         if self.global_subsample > 1:
             global_idx = global_idx[:, ::self.global_subsample]
             eff_global = global_idx.shape[1]
+        if self.teacher_stride > 1 or self.score_stride > 1:
+            return self._score_video_strided(
+                frames, local_idx, global_idx, eff_global)
+        T = frames.shape[0]
         fn = self._get(eff_global)
-        chunk = self.chunk
-        halo = self.global_size  # window reach upper bound
+        buf = self._make_buffer(frames)
+        losses = self._run_chunks(
+            fn, buf, np.arange(T), [local_idx, global_idx])
+        return losses.astype(np.float64)
 
-        # segment plan: segment covers source frames [src0, src0+Fb) and
-        # scores target frames [a, b) whose (possibly end-clamped) windows
-        # fit inside. Worst-case backward reach is halo-1 frames (an
-        # end-clamped global window starts at T-global_size), so src0 lags
-        # the first target by halo; progress per segment is Fb - 2*halo.
-        assert Fb >= 2 * halo + self.chunk, (
-            f"frame_buffer {Fb} too small for halo {halo}")
-        segments: List[tuple] = []
-        a = 0
-        while a < T:
-            src0 = max(0, a - halo)
-            end = src0 + Fb
-            b = T if end >= T else end - halo
-            segments.append((src0, a, b))
-            a = b
+    def _score_video_strided(self, frames, local_idx, global_idx,
+                             eff_global: int) -> np.ndarray:
+        """Teacher-stride / score-stride scoring.
 
-        is_u8 = frames.dtype == np.uint8
-        if is_u8 and self._prep is None:
-            # fused on-device preprocessing: uint8 crosses PCIe (4x fewer
-            # bytes than f32), normalize happens in one device pass
-            # (ref: dino_loss_loader.py:86 does this on the host per video)
-            mean, std, dt = self.mean, self.std, self.compute_dtype
+        Scored positions: every ``score_stride``-th frame (+ the last
+        frame). Teacher positions: every ``teacher_stride``-th scored
+        position (+ the last scored position). Teacher CLS features are
+        computed at teacher positions only and linearly interpolated (in
+        feature space) for the scored positions between them; per-frame
+        losses at unscored positions are linearly interpolated. All
+        approximations are quantified in BENCH.md / tests/test_fast_scoring.py.
+        """
+        T = frames.shape[0]
+        m, k = self.score_stride, self.teacher_stride
+        teacher_fn, student_fn = self._get_split(eff_global)
 
-            @jax.jit
-            def prep(u8):
-                x = u8.astype(jnp.float32) / 255.0
-                return ((x - mean) / std).astype(dt)
+        pos = np.arange(0, T, m)
+        if pos[-1] != T - 1:
+            pos = np.append(pos, T - 1)
+        tpos_sel = np.arange(0, len(pos), k)
+        if tpos_sel[-1] != len(pos) - 1:
+            tpos_sel = np.append(tpos_sel, len(pos) - 1)
+        tpos = pos[tpos_sel]  # teacher positions, frame timeline
 
-            self._prep = prep
+        # pass A: teacher features at tpos. When the whole video fits in
+        # the resident-piece budget, both passes share one buffer so each
+        # frame crosses the wire ONCE; longer videos stream per pass with
+        # eviction (wire cost overlapped with compute either way).
+        buf = self._make_buffer(frames)
+        resident = buf.n_pieces <= MAX_RESIDENT_PIECES
+        t_feats = self._run_chunks(teacher_fn, buf, tpos, [global_idx],
+                                   evict=not resident)
 
-        out_parts = []
-        for (src0, a, b) in segments:
-            seg = frames[src0:src0 + Fb]
-            if seg.shape[0] < Fb:
-                seg = np.pad(seg, ((0, Fb - seg.shape[0]),) + ((0, 0),) * 3)
-            if is_u8:
-                seg_dev = self._prep(jnp.asarray(seg))
-            else:
-                seg_dev = jnp.asarray(seg, self.compute_dtype)
-            n = b - a
-            loc = local_idx[a:b] - src0
-            glob = global_idx[a:b] - src0
-            pad_n = (-n) % chunk
-            if pad_n:
-                loc = np.pad(loc, ((0, pad_n), (0, 0)))
-                glob = np.pad(glob, ((0, pad_n), (0, 0)))
-            losses = []
-            for c0 in range(0, n + pad_n, chunk):
-                losses.append(fn(
-                    self.params, seg_dev,
-                    jnp.asarray(loc[c0:c0 + chunk]),
-                    jnp.asarray(glob[c0:c0 + chunk])))
-            seg_losses = np.concatenate([np.asarray(x) for x in losses])[:n]
-            out_parts.append(seg_losses)
-        return np.concatenate(out_parts).astype(np.float64)
+        # interpolate teacher features to every scored position (host:
+        # (n_scored, D) float32 lerp — microseconds next to the forwards)
+        t_at_pos = _lerp_rows(tpos, t_feats, pos)
+
+        # pass B: student forwards + loss at every scored position
+        buf_b = buf if resident else self._make_buffer(frames)
+        losses_at_pos = self._run_chunks(
+            student_fn, buf_b, pos, [local_idx], extra_rows=t_at_pos)
+
+        if m == 1:
+            return losses_at_pos.astype(np.float64)
+        return np.interp(np.arange(T), pos, losses_at_pos).astype(np.float64)
 
     def dummy_losses(self) -> np.ndarray:
         """Constant-loss protocol for corrupt / size-mismatched videos:
@@ -235,6 +433,20 @@ class FrameScorer:
 def _with_matmul_precision(precision, fn, *args):
     with jax.default_matmul_precision(precision):
         return fn(*args)
+
+
+def _lerp_rows(xp: np.ndarray, rows: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Row-wise linear interpolation: rows (len(xp), D) sampled at xp,
+    evaluated at x (within [xp[0], xp[-1]]). Returns (len(x), D)."""
+    xp = np.asarray(xp)
+    if len(xp) == 1:
+        return np.repeat(rows, len(x), axis=0)
+    j = np.searchsorted(xp, x, side="right") - 1
+    j = np.clip(j, 0, len(xp) - 2)
+    x0 = xp[j]
+    x1 = xp[j + 1]
+    w = ((x - x0) / np.maximum(x1 - x0, 1)).astype(rows.dtype)[:, None]
+    return rows[j] * (1.0 - w) + rows[j + 1] * w
 
 
 def export_loss(loss_list, video_path: str, file_path: str) -> None:

@@ -1,0 +1,68 @@
+"""Analytic FLOP accounting for the scoring pipeline.
+
+Published so benchmark numbers are auditable: frames/s alone hides the
+algorithmic knobs (teacher stride / subsample), and MFU = achieved FLOP/s
+over peak is the honest utilization number. Counts multiply-adds as
+2 FLOPs (the TPU datasheet convention; v5e peak 197 TFLOP/s bf16).
+"""
+
+from __future__ import annotations
+
+from ..models.timesformer import TimeSformerConfig
+
+V5E_PEAK_BF16 = 197e12  # FLOP/s per chip
+
+
+def timesformer_forward_flops(cfg: TimeSformerConfig, num_frames: int) -> float:
+    """FLOPs of one divided space-time forward, batch 1, T=num_frames.
+
+    Counts the matmuls (patch embed, qkv/proj/temporal_fc, attention
+    score/value products, MLP); norms/softmax/elementwise are <1% and
+    ignored.
+    """
+    D = cfg.embed_dim
+    N = cfg.num_patches  # spatial tokens per frame
+    L = cfg.depth
+    T = num_frames
+    mlp_hidden = int(D * cfg.mlp_ratio)
+    patch_in = cfg.patch_size * cfg.patch_size * cfg.in_chans
+
+    flops = 2.0 * T * N * patch_in * D  # patch embed matmul
+
+    per_block = 0.0
+    if cfg.attention_type == "divided_space_time":
+        # temporal attention over T per spatial location (T*N tokens)
+        per_block += T * N * (2 * 3 * D * D + 2 * D * D)     # qkv + proj
+        per_block += T * N * (4 * T * D)                     # QK^T + PV
+        per_block += T * N * (2 * D * D)                     # temporal_fc
+        # spatial attention over (1+N) per frame (T*(1+N) tokens)
+        per_block += T * (N + 1) * (2 * 3 * D * D + 2 * D * D)
+        per_block += T * (N + 1) * (4 * (N + 1) * D)
+        # MLP over the (1 + N*T) sequence
+        per_block += (1 + N * T) * (2 * 2 * D * mlp_hidden)
+    else:
+        seq = 1 + N * T if cfg.attention_type == "joint_space_time" else N + 1
+        reps = 1 if cfg.attention_type == "joint_space_time" else T
+        per_block += reps * seq * (2 * 4 * D * D + 4 * seq * D)
+        per_block += reps * seq * (2 * 2 * D * mlp_hidden)
+
+    return flops + L * per_block
+
+
+def scoring_flops_per_frame(
+    cfg: TimeSformerConfig,
+    local_size: int = 3,
+    eff_global: int = 30,
+    global_subsample: int = 1,
+    teacher_stride: int = 1,
+    score_stride: int = 1,
+) -> float:
+    """Average FLOPs spent per video frame by FrameScorer with the given
+    approximation knobs (student forward per scored frame + teacher forward
+    per teacher position)."""
+    t_frames = len(range(0, eff_global, max(1, global_subsample)))
+    student = timesformer_forward_flops(cfg, local_size)
+    teacher = timesformer_forward_flops(cfg, t_frames)
+    m = max(1, score_stride)
+    k = max(1, teacher_stride)
+    return (student + teacher / k) / m

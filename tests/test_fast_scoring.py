@@ -1,0 +1,162 @@
+"""Validation of the fast scoring modes (teacher stride / subsample /
+score stride) against exact scoring.
+
+The full-size (ViT-B @224) run lives in tools/validate_fast_scoring.py and
+is executed on the TPU; these tests pin the same properties at test scale
+(vit_tiny @32) plus the model-free interpolation check on the committed
+reference loss curves (ref: loss_values/loss_msvd_4_3_30.json).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dino_video_summarization_transformer_tpu.data.selection import (
+    adaptive_indices)
+from dino_video_summarization_transformer_tpu.data.windows import (
+    window_indices)
+from dino_video_summarization_transformer_tpu.engine.scoring import (
+    FrameScorer, _lerp_rows)
+
+REF_LOSS_JSON = "/root/reference/loss_values/loss_msvd_4_3_30.json"
+
+
+def _spearman(a, b):
+    ra = np.argsort(np.argsort(a)).astype(float)
+    rb = np.argsort(np.argsort(b)).astype(float)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    return float((ra * rb).sum() / np.sqrt((ra * ra).sum() * (rb * rb).sum()))
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    import jax
+
+    from dino_video_summarization_transformer_tpu.models import (
+        init_timesformer, vit_tiny_config)
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_video)
+
+    cfg = vit_tiny_config(num_frames=8, num_classes=0, img_size=32)
+    params = init_timesformer(jax.random.key(0), cfg)
+    T = 100
+    vid = make_video(0, T, 32)
+    loc, glob, eff = window_indices(T, 3, 30)
+
+    def scorer(**kw):
+        kw.setdefault("compute_dtype", np.float32)
+        return FrameScorer(params, cfg, chunk=8, precision=None, **kw)
+
+    exact = scorer().score_video(vid, loc, glob, eff)
+    return scorer, vid, loc, glob, eff, exact
+
+
+def test_strided_path_is_exact_at_stride_one(tiny_setup):
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    sc = scorer()
+    strided = sc._score_video_strided(vid, loc, glob, eff)
+    np.testing.assert_array_equal(exact, strided)
+
+
+def test_uint8_wire_matches_prenormalized_float(tiny_setup):
+    """The in-kernel uint8 normalize must equal host normalization."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    mean = np.array([0.45, 0.45, 0.45], np.float32)
+    std = np.array([0.225, 0.225, 0.225], np.float32)
+    vf = ((vid.astype(np.float32) / 255.0) - mean) / std
+    out = scorer().score_video(vf, loc, glob, eff)
+    np.testing.assert_allclose(exact, out, rtol=2e-5, atol=2e-6)
+
+
+def test_turbo_mode_quality(tiny_setup):
+    """turbo (teacher stride 4 with feature interpolation, exact teacher
+    geometry): Spearman >= 0.99 vs exact, and score error at or below the
+    bf16 quantization noise floor the production 'exact' mode carries
+    (the validation bar; see tools/validate_fast_scoring.py docstring and
+    BENCH.md)."""
+    import jax.numpy as jnp
+
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    fast = scorer(teacher_stride=4).score_video(vid, loc, glob, eff)
+    assert _spearman(exact, fast) >= 0.99
+    turbo_relerr = np.abs(fast - exact).mean() / exact.mean()
+    bf16 = scorer(compute_dtype=jnp.bfloat16).score_video(vid, loc, glob, eff)
+    bf16_relerr = np.abs(bf16 - exact).mean() / exact.mean()
+    assert turbo_relerr <= bf16_relerr, (turbo_relerr, bf16_relerr)
+
+
+def test_teacher_stride_monotonic_degradation(tiny_setup):
+    """Larger teacher strides should not IMPROVE fidelity (sanity check
+    that the knob actually approximates)."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    errs = []
+    for k in (2, 8):
+        fast = scorer(teacher_stride=k).score_video(vid, loc, glob, eff)
+        errs.append(np.abs(fast - exact).mean())
+    assert errs[0] <= errs[1] + 1e-9
+
+
+def test_long_video_eviction_path(tiny_setup):
+    """Videos beyond the resident-piece budget stream with eviction and
+    must score identically to the resident path."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    import dino_video_summarization_transformer_tpu.engine.scoring as S
+
+    sc = scorer(global_subsample=4, teacher_stride=4, piece=16)
+    res = sc.score_video(vid, loc, glob, eff)
+    old = S.MAX_RESIDENT_PIECES
+    S.MAX_RESIDENT_PIECES = 2  # force the streaming/eviction path
+    try:
+        sc2 = scorer(global_subsample=4, teacher_stride=4, piece=16)
+        streamed = sc2.score_video(vid, loc, glob, eff)
+    finally:
+        S.MAX_RESIDENT_PIECES = old
+    np.testing.assert_allclose(res, streamed, rtol=1e-5, atol=1e-7)
+
+
+def test_lerp_rows():
+    xp = np.array([0, 4, 10])
+    rows = np.array([[0.0, 10.0], [4.0, 6.0], [10.0, 0.0]], np.float32)
+    out = _lerp_rows(xp, rows, np.array([0, 2, 4, 7, 10]))
+    np.testing.assert_allclose(out[:, 0], [0, 2, 4, 7, 10])
+    np.testing.assert_allclose(out[0], rows[0])
+    np.testing.assert_allclose(out[-1], rows[-1])
+    single = _lerp_rows(np.array([5]), rows[:1], np.array([0, 9]))
+    np.testing.assert_allclose(single, np.repeat(rows[:1], 2, 0))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LOSS_JSON),
+                    reason="reference loss JSON not present")
+def test_score_stride_interpolation_on_reference_losses():
+    """score_stride quality, measured on REAL loss curves (the committed
+    MSVD scores): documents why m > 1 is NOT the default — exact-index
+    selection agreement drops to ~0.73 (m=2) / ~0.56 (m=4); within a
+    +/-2-presampled-frame tolerance it stays >= 0.94. These bounds are the
+    ones published in BENCH.md."""
+    data = json.load(open(REF_LOSS_JSON))
+    rate, N = 4, 16
+    stats = {}
+    for m in (2, 4):
+        agree = agree2 = tot = 0
+        for losses in list(data.values()):
+            losses = np.asarray(losses, float)
+            T = len(losses)
+            if T < 2 * m or not np.isfinite(losses).all() or losses.sum() <= 0:
+                continue
+            pos = np.arange(0, T, m)
+            if pos[-1] != T - 1:
+                pos = np.append(pos, T - 1)
+            fast = np.interp(np.arange(T), pos, losses[pos])
+            ie, _ = adaptive_indices(losses, N, rate, T, T * rate)
+            ifa, _ = adaptive_indices(fast, N, rate, T, T * rate)
+            agree += len(set(ie) & set(ifa))
+            agree2 += sum(any(abs(i - j) <= 2 * rate for j in ifa) for i in ie)
+            tot += len(ie)
+        stats[m] = (agree / tot, agree2 / tot)
+    assert stats[2][0] >= 0.65, stats
+    assert stats[4][0] >= 0.50, stats
+    assert stats[2][1] >= 0.97, stats
+    assert stats[4][1] >= 0.94, stats

@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Quality validation for the fast scoring modes (teacher subsample /
+teacher stride / score stride) against exact scoring.
+
+Two complementary checks:
+
+1. Model-based (runs the real scorer, default ViT-B @224 on the TPU):
+   a synthetic corpus spanning two signal regimes — event-structured videos
+   (sparse bright moving blocks on smooth drift: loss dominated by real
+   "surprise" events, like cuts/action in natural video) and smooth-drift
+   videos (no events: loss is low-amplitude and noise-like, the worst case
+   for any approximation). For every mode in the grid: Spearman rank
+   correlation of the per-frame scores and adaptive-selection index
+   agreement (N=16, pre-sampling rate 4 — the reference's evaluation
+   geometry, ref: timesformer_evaluation.py:48-56) vs exact mode.
+
+2. Data-based (no model, uses the committed reference scores
+   /root/reference/loss_values/loss_msvd_4_3_30.json): the score_stride
+   interpolation applied to REAL loss curves from the published MSVD run,
+   measuring selection agreement across ~2k videos. This isolates the
+   loss-interpolation approximation with production loss statistics.
+
+Output: a JSON report + a printed table. BENCH.md's quality table is
+generated from this tool.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_LOSS_JSON = "/root/reference/loss_values/loss_msvd_4_3_30.json"
+
+MODE_GRID = {
+    "k2": dict(teacher_stride=2),
+    "turbo(k4)": dict(teacher_stride=4),
+    "k8": dict(teacher_stride=8),
+    "s4 (round-1 'fast')": dict(global_subsample=4),
+    "turbo-max(k4m4)": dict(teacher_stride=4, score_stride=4),
+}
+
+
+from dino_video_summarization_transformer_tpu.utils.synthetic import (  # noqa: E402
+    make_video)
+
+
+def spearman(a: np.ndarray, b: np.ndarray) -> float:
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = np.sqrt((ra * ra).sum() * (rb * rb).sum())
+    return float((ra * rb).sum() / denom) if denom else 1.0
+
+
+def selection_agreement(exact, approx, N: int, rate: int, T: int,
+                        tol_presampled: int = 0) -> float:
+    from dino_video_summarization_transformer_tpu.data.selection import (
+        adaptive_indices)
+
+    ei, _ = adaptive_indices(exact, N, rate, T, T * rate)
+    ai, _ = adaptive_indices(approx, N, rate, T, T * rate)
+    if tol_presampled == 0:
+        return len(set(ei) & set(ai)) / len(ei)
+    hits = sum(any(abs(i - j) <= tol_presampled * rate for j in ai) for i in ei)
+    return hits / len(ei)
+
+
+def teacher_saturation(params, cfg, video, glob, sample_positions):
+    """Diagnostic: max teacher softmax prob and #distinct argmax dims over
+    sampled window positions. A random-init ViT-B@224 saturates to a
+    CONSTANT one-hot (max prob 1.0, one argmax) at teacher_temp=0.02 —
+    teacher-side approximations then measure exactly 0 error and the
+    validation is vacuous. Validator configs must have a live signal:
+    several distinct argmax dims across the video."""
+    import jax
+    import jax.numpy as jnp
+
+    from dino_video_summarization_transformer_tpu.models import timesformer as tsf
+
+    mean = np.array([0.45] * 3, np.float32)
+    std = np.array([0.225] * 3, np.float32)
+    vf = ((video.astype(np.float32) / 255) - mean) / std
+    wins = np.stack([vf[glob[i]] for i in sample_positions]).transpose(0, 4, 1, 2, 3)
+    f = jax.jit(lambda p, x: tsf.forward(p, x, cfg, compute_dtype=jnp.float32))
+    t = np.asarray(f(params, jnp.asarray(wins)))
+    p = np.asarray(jax.nn.softmax(jnp.asarray(t) / 0.02, axis=-1))
+    return {"max_prob": float(p.max(-1).mean()),
+            "distinct_argmax": int(len(np.unique(p.argmax(-1))))}
+
+
+def run_model_validation(arch: str, n_videos: int, T: int, img: int,
+                         chunk: int):
+    """Model-based grid, with the bf16-quantization baseline.
+
+    The decisive context row is ``bf16-exact vs f32-exact``: the production
+    "exact" mode runs bfloat16, whose rounding already perturbs per-frame
+    scores by ~3-6% relative — the CDF-argmin selection is chaotic at that
+    level, so an approximation is acceptable when its score error is at or
+    below the bf16 noise floor everyone already accepts. turbo (teacher
+    stride 4 with feature interpolation, exact 30-frame teacher geometry)
+    measures BELOW that floor on every live validator config.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dino_video_summarization_transformer_tpu.data.windows import (
+        window_indices)
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        FrameScorer)
+    from dino_video_summarization_transformer_tpu.models import (
+        init_timesformer, vit_base_config, vit_small_config, vit_tiny_config)
+
+    cfg_fn = {"vit_base": vit_base_config, "vit_small": vit_small_config,
+              "vit_tiny": vit_tiny_config}[arch]
+    cfg = cfg_fn(num_frames=8, num_classes=0, img_size=img)
+    params = init_timesformer(jax.random.key(0), cfg)
+    loc, glob, eff = window_indices(T, 3, 30)
+
+    videos = [make_video(s, T, img) for s in range(n_videos)]
+
+    report = {"saturation": teacher_saturation(
+        params, cfg, videos[0], glob, list(range(0, T, max(1, T // 8))))}
+    print(f"[{arch}@{img}] saturation: {report['saturation']}", flush=True)
+
+    exact_scorer = FrameScorer(params, cfg, chunk=chunk,
+                               compute_dtype=np.float32, precision=None)
+    exact = []
+    for i, v in enumerate(videos):
+        exact.append(exact_scorer.score_video(v, loc, glob, eff))
+        print(f"exact {i + 1}/{len(videos)}", flush=True)
+
+    def measure(name, sc):
+        sp, ag, ag1, re = [], [], [], []
+        for ex, v in zip(exact, videos):
+            fs = sc.score_video(v, loc, glob, eff)
+            sp.append(spearman(ex, fs))
+            re.append(float(np.abs(fs - ex).mean() / ex.mean()))
+            ag.append(selection_agreement(ex, fs, 16, 4, T))
+            ag1.append(selection_agreement(ex, fs, 16, 4, T, 1))
+        report[name] = {
+            "spearman_mean": float(np.mean(sp)),
+            "spearman_min": float(np.min(sp)),
+            "rel_err_mean": float(np.mean(re)),
+            "rel_err_max": float(np.max(re)),
+            "selection_agree_exact": float(np.mean(ag)),
+            "selection_agree_tol1": float(np.mean(ag1)),
+        }
+        print(f"{name}: spearman {np.mean(sp):.4f} (min {np.min(sp):.4f}), "
+              f"relerr {np.mean(re):.4f}, sel-agree {np.mean(ag):.3f} "
+              f"(tol1 {np.mean(ag1):.3f})", flush=True)
+
+    # quantization noise floor: the accepted production numerics
+    measure("bf16-exact (noise floor)",
+            FrameScorer(params, cfg, chunk=chunk,
+                        compute_dtype=jnp.bfloat16, precision=None))
+    for name, kw in MODE_GRID.items():
+        measure(name, FrameScorer(params, cfg, chunk=chunk,
+                                  compute_dtype=np.float32, precision=None,
+                                  **kw))
+    return report
+
+
+def run_reference_json_validation(rate: int = 4):
+    """score_stride interpolation on the committed reference loss curves."""
+    if not os.path.exists(REF_LOSS_JSON):
+        return {"skipped": f"{REF_LOSS_JSON} not present"}
+    data = json.load(open(REF_LOSS_JSON))
+    report = {}
+    for m in (2, 4):
+        for N in (8, 16):
+            agree = agree1 = tot = 0
+            from dino_video_summarization_transformer_tpu.data.selection import (
+                adaptive_indices)
+            for losses in data.values():
+                losses = np.asarray(losses, float)
+                T = len(losses)
+                if T < 2 * m or not np.isfinite(losses).all() or losses.sum() <= 0:
+                    continue
+                pos = np.arange(0, T, m)
+                if pos[-1] != T - 1:
+                    pos = np.append(pos, T - 1)
+                fast = np.interp(np.arange(T), pos, losses[pos])
+                ie, _ = adaptive_indices(losses, N, rate, T, T * rate)
+                ifa, _ = adaptive_indices(fast, N, rate, T, T * rate)
+                agree += len(set(ie) & set(ifa))
+                agree1 += sum(
+                    any(abs(i - j) <= rate for j in ifa) for i in ie)
+                tot += len(ie)
+            report[f"m{m}_N{N}"] = {
+                "selection_agree_exact": round(agree / tot, 4),
+                "selection_agree_tol1": round(agree1 / tot, 4),
+            }
+    return report
+
+
+# default validator sweep: different widths/resolutions give different
+# feature regimes (a single random-init config can saturate — see
+# teacher_saturation); turbo must hold on the WORST of them
+DEFAULT_VALIDATORS = [("vit_tiny", 32), ("vit_small", 96), ("vit_small", 224)]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default=None,
+                   choices=["vit_base", "vit_small", "vit_tiny"],
+                   help="single validator arch (default: the sweep)")
+    p.add_argument("--videos", type=int, default=8)
+    p.add_argument("--frames", type=int, default=240)
+    p.add_argument("--img", type=int, default=224)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--out", default="eval_logs/fast_scoring_validation.json")
+    p.add_argument("--skip-model", action="store_true")
+    args = p.parse_args()
+
+    report = {"reference_json_interpolation": run_reference_json_validation()}
+    if not args.skip_model:
+        validators = ([(args.arch, args.img)] if args.arch
+                      else DEFAULT_VALIDATORS)
+        grids = {}
+        for arch, img in validators:
+            grids[f"{arch}@{img}"] = run_model_validation(
+                arch, args.videos, args.frames, img, args.chunk)
+        report["model_grids"] = grids
+        # worst-case aggregation over live validators
+        worst = {}
+        for key in list(grids.values())[0]:
+            if key == "saturation":
+                continue
+            worst[key] = {
+                "spearman_min": min(g[key]["spearman_min"] for g in grids.values()),
+                "rel_err_max": max(g[key]["rel_err_max"] for g in grids.values()),
+                "selection_agree_exact_min": min(
+                    g[key]["selection_agree_exact"] for g in grids.values()),
+            }
+        report["worst_case"] = worst
+        report["config"] = {"validators": validators, "videos": args.videos,
+                            "frames": args.frames}
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report.get("worst_case", report), indent=2))
+
+
+if __name__ == "__main__":
+    main()
