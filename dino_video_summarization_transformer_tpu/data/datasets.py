@@ -241,12 +241,24 @@ class ClipDataset:
 
     def __init__(self, cfg, mode: str, num_retries: int = 10,
                  get_flow: bool = False, temporal_aug: bool = False,
+                 two_token: bool = False, rand_fr: bool = False,
                  csv_name: Optional[str] = None, seed: Optional[int] = None):
         assert mode in ("train", "val", "test")
         self.cfg = cfg
         self.mode = mode
         self._num_retries = num_retries
         self.temporal_aug = temporal_aug
+        # two_token: 3 global + 2 local clips -> 6 aug views
+        # (ref: decoder.py:401-414, transform.py:738-743)
+        self.two_token = two_token
+        # rand_fr: variable-frame-count multi-crop — globals of 4 and 8
+        # frames, locals of [2,2,4,4,8,8,16,16] (ref: decoder.py:418-427)
+        self.rand_fr = rand_fr
+        # optical-flow folder companion to each video, fed to the motion
+        # stream of TWO_STREAM training (ref: kinetics.py:314-348)
+        self.get_flow = get_flow
+        if get_flow:
+            assert mode == "train", "flow only for train"
         self.rng = np.random.RandomState(seed)
 
         if mode in ("train", "val"):
@@ -294,32 +306,103 @@ class ClipDataset:
         start_idx, end_idx = get_start_end_idx(
             frames.shape[0], clip_sz, clip_idx, num_clips_total, rng=self.rng)
 
-        if self.temporal_aug and self.mode == "train":
-            # 2 global + 8 local clips (ref: decoder.py:415-440)
+        if self.two_token and self.mode == "train":
+            # 3 global + 2 local clips (ref: decoder.py:401-414)
             max_len = frames.shape[0]
+            globals_ = []
+            for _ in range(3):
+                ri = int(self.rng.randint(0, 7))
+                globals_.append(
+                    temporal_sampling(frames, ri, max_len - ri, num_frames))
+            locals_ = []
+            local_width = max_len // 8
+            for _ in range(2):
+                ri = int(self.rng.randint(0, max(max_len - local_width, 1)))
+                locals_.append(
+                    temporal_sampling(frames, ri, ri + local_width, num_frames))
+            return [*globals_, *locals_]
+
+        if self.temporal_aug and self.mode == "train":
+            max_len = frames.shape[0]
+            local_width = max_len // 8
+            if self.rand_fr:
+                # variable-frame-count clips (ref: decoder.py:418-427):
+                # globals of 4 and 8 frames, locals of [2,2,4,4,8,8,16,16]
+                g1 = temporal_sampling(frames, 0, max_len - 5, 4)
+                g2 = temporal_sampling(frames, 5, max_len, 8)
+                locals_ = []
+                for n_local in (2, 2, 4, 4, 8, 8, 16, 16):
+                    ri = int(self.rng.randint(0, max(max_len - local_width, 1)))
+                    locals_.append(
+                        temporal_sampling(frames, ri, ri + local_width, n_local))
+                return [g1, g2, *locals_]
+            # 2 global + 8 local clips (ref: decoder.py:428-440)
             g1 = temporal_sampling(frames, 0, max_len - 5, num_frames)
             g2 = temporal_sampling(frames, 5, max_len, num_frames)
             locals_ = []
-            local_width = max_len // 8
             for _ in range(8):
                 ri = int(self.rng.randint(0, max(max_len - local_width, 1)))
                 locals_.append(temporal_sampling(frames, ri, ri + local_width, num_frames))
             return [g1, g2, *locals_]
         return temporal_sampling(frames, start_idx, end_idx, num_frames)
 
+    def _load_flow(self, index: int):
+        """Optical-flow companion frames: `<video minus ext>` under the
+        train_flow sibling dir, sobel-filtered (ref: kinetics.py:314-348).
+        Returns (T, C, H, W) float32 or raises FileNotFoundError."""
+        from ..ops.image import load_flow_folder
+
+        flow_path = self._path_to_videos[index].replace(
+            "train_d256", "train_flow")[:-4]
+        flow = load_flow_folder(flow_path)  # (T, C, H, W) float32 or None
+        if flow is None:
+            raise FileNotFoundError(flow_path)
+        return _sobel_np(flow)
+
     def __getitem__(self, index: int):
         cfg = self.cfg
         for retry in range(self._num_retries):
             clips = self._decode_clip(index)
-            if clips is not None:
-                break
-            # corrupt video: substitute a random other video
-            # (ref: kinetics.py:200-253)
-            index = int(self.rng.randint(0, len(self)))
+            if clips is None:
+                index = int(self.rng.randint(0, len(self)))
+                continue
+            meta = {}
+            if self.get_flow:
+                # flow failures retry with substitution like decode failures
+                # (ref: kinetics.py:329-332 `continue`s the retry loop)
+                try:
+                    flow = self._load_flow(index)
+                except Exception:
+                    index = int(self.rng.randint(0, len(self)))
+                    continue
+                if cfg.DATA.NO_FLOW_AUG:
+                    from .transform import resize as _resize
+
+                    flow = _resize(flow, cfg.DATA.CROP_SIZE, mode="bicubic")
+                    meta["flow"] = [np.asarray(x) for x in flow]  # per-frame CHW
+                else:
+                    # DINO multi-crop over the flow video, each crop
+                    # rearranged t c h w -> c t h w (ref: kinetics.py:324-326)
+                    aug = VideoDataAugmentationDINO(rng=self.rng)
+                    flow_crops = aug(flow)
+                    meta["flow"] = [
+                        np.ascontiguousarray(np.moveaxis(c, 0, 1))
+                        for c in flow_crops]
+            break
         else:
             raise RuntimeError(f"failed to decode after {self._num_retries} retries")
 
         label = self._labels[index]
+
+        if self.two_token and self.mode == "train":
+            aug = VideoDataAugmentationDINO(rng=self.rng)
+            as_tchw = [np.moveaxis(c, -1, 1).astype(np.float32) for c in clips]
+            # 6 views: [aug global 224, plain global 224, 2x local-96 crops
+            # of global clips, 2x plain 224 of temporally-local clips]
+            # (ref: transform.py:738-743)
+            crops = aug(as_tchw, two_token=True)
+            crops = [np.ascontiguousarray(np.moveaxis(c, 0, 1)) for c in crops]
+            return crops, label, index, meta
 
         if self.temporal_aug and self.mode == "train":
             aug = VideoDataAugmentationDINO(rng=self.rng)
@@ -328,7 +411,7 @@ class ClipDataset:
             crops = aug(as_tchw, from_list=True)
             # T C H W -> C T H W (ref: kinetics.py:306-311)
             crops = [np.ascontiguousarray(np.moveaxis(c, 0, 1)) for c in crops]
-            return crops, label, index, {}
+            return crops, label, index, meta
 
         # plain path: normalize + spatial sampling (ref: kinetics.py:257-289)
         frames = tensor_normalize(clips, cfg.DATA.MEAN, cfg.DATA.STD)
@@ -345,7 +428,33 @@ class ClipDataset:
             max_scale=max_s, crop_size=crop,
             random_horizontal_flip=cfg.DATA.RANDOM_FLIP)
         frames = np.ascontiguousarray(np.moveaxis(frames, 0, 1))  # C T H W
-        return frames, label, index, {}
+        return frames, label, index, meta
+
+
+def _sobel_np(images: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Host-side Sobel gradient magnitude matching kornia.filters.sobel
+    (ref: kinetics.py:319): per-channel normalized 3x3 kernels, reflect
+    padding, sqrt(gx^2+gy^2+eps). images (T, C, H, W) float32.
+
+    Pure numpy (separable correlation) so dataloader workers never touch
+    the jax device — the jnp twin lives in ops/image.py for on-device use.
+    """
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32) / 8.0
+    ky = kx.T
+    x = np.pad(images, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+
+    def corr(inp, k):
+        out = np.zeros_like(images)
+        for dy in range(3):
+            for dx in range(3):
+                if k[dy, dx]:
+                    out += k[dy, dx] * inp[
+                        :, :, dy:dy + images.shape[2], dx:dx + images.shape[3]]
+        return out
+
+    gx = corr(x, kx)
+    gy = corr(x, ky)
+    return np.sqrt(gx * gx + gy * gy + eps)
 
 
 # dataset registry (ref: datasets_custom/build.py:5-30)

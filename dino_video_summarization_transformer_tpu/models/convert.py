@@ -305,3 +305,23 @@ def convert_svt_checkpoint(path: str, cfg: TimeSformerConfig, checkpoint_key: st
         sd = strip_prefixes(sd)
     sd = apply_surgery(sd, cfg)
     return timesformer_to_pytree(sd, cfg)
+
+
+def convert_coclr_s3d(path: str):
+    """CoCLR S3D checkpoint -> pytree: keep only the encoder_q.0. subtree
+    like the reference (ref: train_ssl.py:263-271)."""
+    from .s3d import s3d_to_pytree
+
+    sd = load_torch_state_dict(path, checkpoint_key="state_dict")
+    new = {k[len("encoder_q.0."):]: v for k, v in sd.items()
+           if k.startswith("encoder_q.0.")}
+    return s3d_to_pytree(new)
+
+
+def convert_dino_vit2d_checkpoint(path: str, cfg):
+    """Published DINO 2D-ViT .pth (e.g. dino_deitsmall16_pretrain) ->
+    vit2d pytree (ref: train_ssl.py:222-231 motion nets)."""
+    from .vit2d import vit2d_to_pytree
+
+    sd = strip_prefixes(load_torch_state_dict(path))
+    return vit2d_to_pytree(sd, cfg)

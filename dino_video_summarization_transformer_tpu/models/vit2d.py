@@ -87,6 +87,7 @@ def init_vit2d(rng: jax.Array, cfg: ViT2DConfig) -> Any:
         "patch_embed": {
             "proj": _linear_init(keys[3], cfg.patch_size ** 2 * cfg.in_chans, D)
         },
+        "blocks": blocks,
         "norm": _ln_init(D),
     }
     if cfg.num_classes > 0:

@@ -152,8 +152,10 @@ def apply_updates_with_schedules(
         # parameter entirely, weight decay included (ref: utils/utils.py:114-119)
 
         def cancel(path, g):
-            names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-            if "last_layer" in names:
+            # substring match like the reference's `"last_layer" in n`
+            # (ref: utils/utils.py:118) — also catches aux_last_layer
+            names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+            if any("last_layer" in n for n in names):
                 return jnp.where(freeze_last_layer, jnp.zeros_like(g), g)
             return g
 

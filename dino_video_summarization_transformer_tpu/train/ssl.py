@@ -47,14 +47,19 @@ def init_train_state(
     momentum: float = 0.9,
     pretrained_backbone=None,
     two_token: bool = False,
+    cnn_distill_dim: int = 0,
 ) -> tuple[TrainState, Any, Any]:
     """Build student/teacher (+head) and optimizer. Teacher starts as a copy
     of the student (ref: train_ssl.py:330-333). two_token switches to the
     aux-token backbone + dual DINO head + (2, out_dim) center
-    (ref: train_ssl.py:610-620)."""
+    (ref: train_ssl.py:610-620). cnn_distill_dim > 0 adds a linear
+    projection (embed_dim -> cnn feature dim) used by the optional S3D
+    feature-distillation term (extension: the reference constructs the S3D
+    teacher under MODEL.CNN_DISTILL but ships no loss term — see
+    make_train_step)."""
     from ..models.heads import init_multi_dino_head
 
-    k1, k2 = jax.random.split(rng)
+    k1, k2, k3 = jax.random.split(rng, 3)
     if two_token:
         backbone = (pretrained_backbone if pretrained_backbone is not None
                     else tsf.init_aux_token_timesformer(k1, model_cfg))
@@ -66,6 +71,9 @@ def init_train_state(
         head = init_dino_head(k2, model_cfg.embed_dim, out_dim)
         center = jnp.zeros((1, out_dim))
     student = {"backbone": backbone, "head": head}
+    if cnn_distill_dim:
+        student["cnn_proj"] = tsf._linear_init(
+            k3, model_cfg.embed_dim, cnn_distill_dim)
     teacher = jax.tree.map(jnp.copy, student)
     core, mask = build_optimizer(optimizer, student, momentum=momentum)
     state = TrainState(
@@ -91,6 +99,8 @@ def make_train_step(
     donate: bool = True,
     remat: bool = False,
     two_token: bool = False,
+    cnn_params=None,
+    cnn_distill_weight: float = 0.0,
 ):
     """Returns jitted step(state, global_crops, local_crops, lr, wd,
     teacher_momentum, teacher_temp, freeze_flag) -> (state, metrics).
@@ -98,8 +108,21 @@ def make_train_step(
     global_crops: (2*B, C, T, S, S); local_crops: (n_local*B, C, T, s, s).
     n_crops = 2 + n_local (ref: train_ssl.py:356-365). ``remat``
     rematerializes the student forwards (activation memory ~O(depth) ->
-    O(1) at ~30% extra FLOPs); ``two_token`` runs the aux-token model with
-    the dual head and two-stream loss (ref: train_ssl.py:610-651).
+    O(1) at ~30% extra FLOPs).
+
+    ``two_token`` runs the aux-token model with the dual head and the
+    6-view protocol (ref: train_ssl.py:516-525, decoder.py:401-414): the
+    teacher sees the 2 global 224 views (g_crops), the student the 4
+    OTHER views, passed as local_crops = (s96, s224) with s96 the two
+    96px spatial crops and s224 the two plain-224 temporally-local views.
+
+    ``cnn_params``/``cnn_distill_weight``: optional S3D feature
+    distillation on the global crops. NOTE the reference CONSTRUCTS the
+    S3D teacher under MODEL.CNN_DISTILL (ref: train_ssl.py:263-277) but
+    its train loop never adds a loss term for it (grep-verified); weight
+    0.0 reproduces that behavior exactly, weight > 0 enables a
+    negative-cosine feature regression via the student's cnn_proj head
+    (an extension, flagged as such).
     """
     n_crops = 2 + n_local_crops
 
@@ -109,21 +132,39 @@ def make_train_step(
     if remat:
         fwd_student = jax.checkpoint(fwd_student)
 
+    use_cnn = cnn_params is not None and cnn_distill_weight > 0.0
+
+    def cnn_distill_term(student, g_crops, s_g):
+        """Negative cosine between projected student CLS features and
+        pooled (frozen) S3D features on the global crops."""
+        from ..models import s3d
+
+        feats = s3d.forward(cnn_params, g_crops, training=False,
+                            compute_dtype=compute_dtype)  # (B, 1024, t, h, w)
+        feats = feats.mean(axis=(2, 3, 4)).astype(jnp.float32)
+        feats = jax.lax.stop_gradient(
+            feats / jnp.clip(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12))
+        proj = (s_g.astype(jnp.float32) @ student["cnn_proj"]["kernel"]
+                + student["cnn_proj"]["bias"])
+        proj = proj / jnp.clip(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12)
+        return jnp.mean(1.0 - jnp.sum(proj * feats, axis=-1))
+
     def loss_fn(student, teacher, center, g_crops, l_crops, teacher_temp):
         if two_token:
             from ..models.heads import multi_dino_head_forward
             from .dino import dino_loss_two_token
 
-            # two_token uses 4 student views: 2 global + 2 local
-            # (ref: train_ssl.py:609 n_crops=4, decoder.py:401-414)
-            s_g = tsf.aux_token_forward_features(
-                student["backbone"], g_crops, model_cfg, training=True,
+            s96, s224 = l_crops
+            s_a = tsf.aux_token_forward_features(
+                student["backbone"], s96, model_cfg, training=True,
                 compute_dtype=compute_dtype)
-            s_l = tsf.aux_token_forward_features(
-                student["backbone"], l_crops, model_cfg, training=True,
+            s_b = tsf.aux_token_forward_features(
+                student["backbone"], s224, model_cfg, training=True,
                 compute_dtype=compute_dtype)
-            s_pair = (jnp.concatenate([s_g[0], s_l[0]], axis=0),
-                      jnp.concatenate([s_g[1], s_l[1]], axis=0))
+            # view order [2x 96px crops, 2x temporal-local 224] matches the
+            # reference's student(images[2:]) chunking (ref: train_ssl.py:521)
+            s_pair = (jnp.concatenate([s_a[0], s_b[0]], axis=0),
+                      jnp.concatenate([s_a[1], s_b[1]], axis=0))
             s_out = multi_dino_head_forward(student["head"], s_pair)
             t_g = tsf.aux_token_forward_features(
                 teacher["backbone"], g_crops, model_cfg, training=True,
@@ -141,10 +182,14 @@ def make_train_step(
                           compute_dtype=compute_dtype)
         t_out = dino_head_forward(teacher["head"], t_g)
         t_out = jax.lax.stop_gradient(t_out)
-        return dino_loss(
+        loss, new_center = dino_loss(
             s_out.astype(jnp.float32), t_out.astype(jnp.float32), center,
             teacher_temp, n_crops=n_crops, student_temp=student_temp,
             center_momentum=center_momentum)
+        if use_cnn:
+            loss = loss + cnn_distill_weight * cnn_distill_term(
+                student, g_crops, s_g)
+        return loss, new_center
 
     def step_fn(state: TrainState, g_crops, l_crops, lr, wd,
                 teacher_momentum, teacher_temp, freeze_last):
@@ -170,6 +215,250 @@ def make_train_step(
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, data, None, None, None, None, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_rand_fr_train_step(
+    model_cfg: tsf.TimeSformerConfig,
+    core,
+    mask,
+    clip_grad: Optional[float] = 3.0,
+    student_temp: float = 0.1,
+    center_momentum: float = 0.9,
+    compute_dtype=jnp.float32,
+    mesh=None,
+    donate: bool = True,
+):
+    """Variable-frame-count multi-crop DINO step (DATA.RAND_FR).
+
+    The reference's MultiCropWrapper groups the 10 crops by the hardcoded
+    vary_fr boundaries [1, 2, 4, 6, 8, 10] (ref: utils/utils.py:583-588),
+    i.e. one forward per frame-count group: global 4f, global 8f, then
+    local pairs of 2/4/8/16 frames (ref: decoder.py:418-427). On TPU each
+    group is a separate static-shape forward sharing params — exactly the
+    same math, compiled once per shape.
+
+    step(state, crops, lr, wd, m, tt, freeze) where crops is a 6-tuple:
+      (g4 (B,C,4,S,S), g8 (B,C,8,S,S), l2 (2B,C,2,s,s), l4, l8, l16)
+    """
+
+    def fwd(params, x):
+        return tsf.forward(params, x, model_cfg, compute_dtype=compute_dtype)
+
+    def loss_fn(student, teacher, center, crops, teacher_temp):
+        s_out = dino_head_forward(
+            student["head"],
+            jnp.concatenate([fwd(student["backbone"], c) for c in crops], 0))
+        # teacher: the two global groups (ref: utils.py:586-588 idx [1,2])
+        t_feats = jnp.concatenate(
+            [fwd(teacher["backbone"], crops[0]),
+             fwd(teacher["backbone"], crops[1])], 0)
+        t_out = jax.lax.stop_gradient(
+            dino_head_forward(teacher["head"], t_feats))
+        return dino_loss(
+            s_out.astype(jnp.float32), t_out.astype(jnp.float32), center,
+            teacher_temp, n_crops=10, student_temp=student_temp,
+            center_momentum=center_momentum)
+
+    def step_fn(state: TrainState, crops, lr, wd, teacher_momentum,
+                teacher_temp, freeze_last):
+        (loss, new_center), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+            state.student, state.teacher, state.center, crops, teacher_temp)
+        student, opt_state = apply_updates_with_schedules(
+            state.student, grads, state.opt_state, core, mask, lr, wd,
+            clip=clip_grad, freeze_last_layer=freeze_last)
+        teacher = ema_update(state.teacher, student, teacher_momentum)
+        return TrainState(student, teacher, new_center, opt_state,
+                          state.step + 1), {"loss": loss}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, None, None, None, None, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+class TwoStreamState(NamedTuple):
+    """MODEL.TWO_STREAM training state (ref: train_ssl.py:280-346):
+    RGB TimeSformer student/teacher with a dual (MultiDINO) head, plus a
+    2D ViT motion student/teacher over optical-flow frames, and the three
+    DINO-loss centers (rgb, flow, cross)."""
+    student: Any
+    teacher: Any
+    motion_student: Any
+    motion_teacher: Any
+    center_rgb: jnp.ndarray
+    center_flow: jnp.ndarray
+    center_cross: jnp.ndarray
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_two_stream_state(
+    rng: jax.Array,
+    model_cfg: tsf.TimeSformerConfig,
+    motion_cfg,
+    out_dim: int = 65536,
+    optimizer: str = "adamw",
+    momentum: float = 0.9,
+    pretrained_backbone=None,
+    pretrained_motion=None,
+) -> tuple[TwoStreamState, Any, Any]:
+    """(ref: train_ssl.py:222-231, 280-346). The reference's shipped
+    TWO_STREAM head wiring is defective — MultiDINOHead.forward receives
+    the plain backbone's TENSOR and row-slices it (`x[0], x[1]`,
+    vision_transformer.py:337) — so per SURVEY section 7 the INTENDED
+    semantics are built: both head streams read the same CLS features
+    (rgb head + cross-modal flow-prediction head)."""
+    from ..models import vit2d
+    from ..models.heads import init_dino_head as _idh, init_multi_dino_head
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    backbone = (pretrained_backbone if pretrained_backbone is not None
+                else tsf.init_timesformer(k1, model_cfg))
+    student = {"backbone": backbone,
+               "head": init_multi_dino_head(k2, model_cfg.embed_dim, out_dim)}
+    motion_backbone = (pretrained_motion if pretrained_motion is not None
+                       else vit2d.init_vit2d(k3, motion_cfg))
+    motion_student = {"backbone": motion_backbone,
+                      "head": _idh(k4, motion_cfg.embed_dim, out_dim)}
+    teacher = jax.tree.map(jnp.copy, student)
+    motion_teacher = jax.tree.map(jnp.copy, motion_student)
+    # one optimizer over both students (ref: train_ssl.py:377-381 merges
+    # the motion params into the same param groups)
+    combined = {"rgb": student, "motion": motion_student}
+    core, mask = build_optimizer(optimizer, combined, momentum=momentum)
+    state = TwoStreamState(
+        student=student,
+        teacher=teacher,
+        motion_student=motion_student,
+        motion_teacher=motion_teacher,
+        center_rgb=jnp.zeros((1, out_dim)),
+        center_flow=jnp.zeros((1, out_dim)),
+        center_cross=jnp.zeros((1, out_dim)),
+        opt_state=core.init(combined),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, core, mask
+
+
+def make_two_stream_train_step(
+    model_cfg: tsf.TimeSformerConfig,
+    motion_cfg,
+    core,
+    mask,
+    n_local_crops: int = 8,
+    clip_grad: Optional[float] = 3.0,
+    student_temp: float = 0.1,
+    center_momentum: float = 0.9,
+    compute_dtype=jnp.float32,
+    mesh=None,
+    donate: bool = True,
+    remat: bool = False,
+):
+    """TWO_STREAM motion-distillation step (ref: train_ssl.py:507-519):
+
+      loss = dino(rgb_student(2+n crops), rgb_teacher(2 globals))
+           + dino(motion_student(2 flow views), motion_teacher(2 flow views))
+           + dino(cross_student(2+n crops), motion_teacher(2 flow views))
+
+    step(state, g_crops (2B,C,T,S,S), l_crops (nB,C,T,s,s),
+         flow (2B,C,H,W), lr, wd, m, tt, freeze).
+    """
+    from ..models import vit2d
+    from ..models.heads import multi_dino_head_forward
+
+    n_crops = 2 + n_local_crops
+
+    def fwd(params, x):
+        return tsf.forward(params, x, model_cfg, compute_dtype=compute_dtype)
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    def mfwd(params, x):
+        return vit2d.forward(params, x, motion_cfg,
+                             compute_dtype=compute_dtype)
+
+    def loss_fn(student, motion_student, teacher, motion_teacher,
+                centers, g_crops, l_crops, flow, teacher_temp):
+        center_rgb, center_flow, center_cross = centers
+        feats = jnp.concatenate([fwd(student["backbone"], g_crops),
+                                 fwd(student["backbone"], l_crops)], 0)
+        s_rgb, s_cross = multi_dino_head_forward(
+            student["head"], (feats, feats))
+        t_feats = fwd(teacher["backbone"], g_crops)
+        t_rgb, _ = multi_dino_head_forward(
+            teacher["head"], (t_feats, t_feats))
+        t_rgb = jax.lax.stop_gradient(t_rgb)
+
+        s_flow = dino_head_forward(motion_student["head"],
+                                   mfwd(motion_student["backbone"], flow))
+        t_flow = jax.lax.stop_gradient(
+            dino_head_forward(motion_teacher["head"],
+                              mfwd(motion_teacher["backbone"], flow)))
+
+        l_rgb, c_rgb = dino_loss(
+            s_rgb.astype(jnp.float32), t_rgb.astype(jnp.float32),
+            center_rgb, teacher_temp, n_crops=n_crops,
+            student_temp=student_temp, center_momentum=center_momentum)
+        l_flow, c_flow = dino_loss(
+            s_flow.astype(jnp.float32), t_flow.astype(jnp.float32),
+            center_flow, teacher_temp, n_crops=2,
+            student_temp=student_temp, center_momentum=center_momentum)
+        l_cross, c_cross = dino_loss(
+            s_cross.astype(jnp.float32), t_flow.astype(jnp.float32),
+            center_cross, teacher_temp, n_crops=n_crops,
+            student_temp=student_temp, center_momentum=center_momentum)
+        loss = l_rgb + l_flow + l_cross
+        return loss, ((c_rgb, c_flow, c_cross),
+                      {"loss": loss, "loss_rgb": l_rgb,
+                       "loss_flow": l_flow, "loss_cross": l_cross})
+
+    def step_fn(state: TwoStreamState, g_crops, l_crops, flow, lr, wd,
+                teacher_momentum, teacher_temp, freeze_last):
+        def combined_loss(combined, *rest):
+            return loss_fn(combined["rgb"], combined["motion"], *rest)
+
+        combined = {"rgb": state.student, "motion": state.motion_student}
+        centers = (state.center_rgb, state.center_flow, state.center_cross)
+        (loss, (new_centers, metrics)), grads = jax.value_and_grad(
+            combined_loss, has_aux=True)(
+            combined, state.teacher, state.motion_teacher, centers,
+            g_crops, l_crops, flow, teacher_temp)
+        combined, opt_state = apply_updates_with_schedules(
+            combined, grads, state.opt_state, core, mask, lr, wd,
+            clip=clip_grad, freeze_last_layer=freeze_last)
+        teacher = ema_update(state.teacher, combined["rgb"], teacher_momentum)
+        motion_teacher = ema_update(
+            state.motion_teacher, combined["motion"], teacher_momentum)
+        new_state = TwoStreamState(
+            combined["rgb"], teacher, combined["motion"], motion_teacher,
+            new_centers[0], new_centers[1], new_centers[2],
+            opt_state, state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, data, None, None, None, None, None),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )

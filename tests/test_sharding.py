@@ -132,8 +132,11 @@ def test_two_token_train_step():
                            two_token=True)
     rng = np.random.RandomState(0)
     B = 2
+    # 6-view protocol (ref: train_ssl.py:516-525): teacher gets the 2
+    # global views; the student the 2 spatial 96-crops + 2 temporal locals
     g = jnp.asarray(rng.randn(2 * B, 3, 2, 64, 64), jnp.float32)
-    l = jnp.asarray(rng.randn(2 * B, 3, 2, 48, 48), jnp.float32)
-    state2, metrics = step(state, g, l, 1e-3, 1e-4, 0.99, 0.04, False)
+    s96 = jnp.asarray(rng.randn(2 * B, 3, 2, 48, 48), jnp.float32)
+    s224 = jnp.asarray(rng.randn(2 * B, 3, 2, 64, 64), jnp.float32)
+    state2, metrics = step(state, g, (s96, s224), 1e-3, 1e-4, 0.99, 0.04, False)
     assert np.isfinite(float(metrics["loss"]))
     assert float(jnp.abs(state2.center).max()) > 0

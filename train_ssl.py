@@ -66,6 +66,15 @@ def get_args_parser():
                    help="debug: cap iterations per epoch (0 = full epoch)")
     p.add_argument("--two_token", default=False, type=bool_flag,
                    help="aux-token model + dual DINO head (MODEL.TWO_TOKEN)")
+    p.add_argument("--pretrained_motion", default=None, type=str,
+                   help="DINO ViT-S .pth for the TWO_STREAM motion nets "
+                        "(ref: train_ssl.py:222-231)")
+    p.add_argument("--pretrained_cnn", default=None, type=str,
+                   help="CoCLR S3D .pth.tar for MODEL.CNN_DISTILL "
+                        "(ref: train_ssl.py:263-271)")
+    p.add_argument("--cnn_distill_weight", default=0.0, type=float,
+                   help="S3D feature-distillation loss weight; 0 matches "
+                        "the reference (teacher built, no loss term)")
     p.add_argument("--use_remat", default=False, type=bool_flag,
                    help="rematerialize student forwards (larger batches)")
     # online kNN evaluation hook (ref: train_ssl.py:576-599 eval_knn)
@@ -167,17 +176,46 @@ def train_svt(args):
             cfg.DATA.PATH_PREFIX = args.data_path
 
     # ---------------- data -------------------------------------------------
-    dataset = ClipDataset(cfg, "train", temporal_aug=True, seed=args.seed)
+    two_token = args.two_token or cfg.MODEL.TWO_TOKEN
+    two_stream = cfg.MODEL.TWO_STREAM
+    rand_fr = cfg.DATA.RAND_FR
+    dataset = ClipDataset(cfg, "train", temporal_aug=not two_token,
+                          two_token=two_token, rand_fr=rand_fr,
+                          get_flow=two_stream, seed=args.seed)
     world = jax.process_count()
     per_host = args.batch_size_per_gpu * jax.local_device_count()
     idx = shard_indices(len(dataset), jax.process_index(), world,
                         shuffle=True, seed=args.seed, drop_last=True)
 
+    flow_rng = np.random.RandomState(args.seed + 1)
+
+    def _stack_views(items, sel):
+        return np.concatenate(
+            [np.stack([it[0][c] for it in items]) for c in sel], axis=0)
+
     def collate(items):
-        crops = [np.stack([it[0][c] for it in items]) for c in range(
-            2 + args.local_crops_number)]
-        g = np.concatenate(crops[:2], axis=0)
-        l = np.concatenate(crops[2:], axis=0)
+        if two_token:
+            # 6 views (ref: transform.py:738-743): teacher = [v0, v1],
+            # student = ([v2, v3] @96px, [v4, v5] @224)
+            return (_stack_views(items, (0, 1)),
+                    (_stack_views(items, (2, 3)), _stack_views(items, (4, 5))))
+        if rand_fr:
+            # vary_fr groups [1,2,4,6,8,10] (ref: utils/utils.py:583-588)
+            return tuple(
+                _stack_views(items, sel)
+                for sel in ((0,), (1,), (2, 3), (4, 5), (6, 7), (8, 9)))
+        g = _stack_views(items, range(2))
+        l = _stack_views(items, range(2, 2 + args.local_crops_number))
+        if two_stream:
+            # 2 random flow frames, shared across the batch
+            # (ref: train_ssl.py:500-502)
+            n_flow = min(len(it[3]["flow"]) for it in items)
+            fi = flow_rng.choice(range(min(cfg.DATA.NUM_FRAMES, n_flow)), 2,
+                                 replace=False)
+            flow = np.concatenate(
+                [np.stack([np.asarray(it[3]["flow"][i]) for it in items])
+                 for i in fi], axis=0)
+            return g, l, flow
         return g, l
 
     niter_per_ep = max(len(idx) // per_host, 1)
@@ -191,21 +229,77 @@ def train_svt(args):
             args.pretrained_rgb, mcfg, checkpoint_key="teacher")
         print(f"Loaded pretrained RGB backbone from {args.pretrained_rgb}")
 
-    two_token = args.two_token or cfg.MODEL.TWO_TOKEN
-    state, core, mask = init_train_state(
-        jax.random.key(args.seed), mcfg, out_dim=args.out_dim,
-        optimizer=args.optimizer,
-        pretrained_backbone=pretrained_backbone, two_token=two_token)
+    # optional S3D teacher (MODEL.CNN_DISTILL). The reference constructs it
+    # (ref: train_ssl.py:263-277) but ships no loss term; the term here is
+    # gated on --cnn_distill_weight > 0 (see train/ssl.py).
+    cnn_params = None
+    if cfg.MODEL.CNN_DISTILL:
+        from dino_video_summarization_transformer_tpu.models import s3d
 
+        if args.pretrained_cnn:
+            cnn_params = convert.convert_coclr_s3d(args.pretrained_cnn)
+            print(f"Loaded CoCLR S3D teacher from {args.pretrained_cnn}")
+        else:
+            cnn_params = s3d.init_s3d(jax.random.key(args.seed + 7))
+        cnn_params = jax.tree.map(jnp.asarray, cnn_params)
+
+    compute_dtype = jnp.bfloat16 if args.use_fp16 else jnp.float32
     mesh = build_mesh()
-    state = jax.device_put(state, replicated(mesh))
-    step_fn = make_train_step(
-        mcfg, core, mask,
-        n_local_crops=2 if two_token else args.local_crops_number,
-        clip_grad=args.clip_grad,
-        compute_dtype=jnp.bfloat16 if args.use_fp16 else jnp.float32,
-        mesh=mesh, remat=args.use_remat, two_token=two_token)
     d_shard = data_sharding(mesh)
+
+    if two_stream:
+        assert cfg.DATA.NO_FLOW_AUG, (
+            "TWO_STREAM requires DATA.NO_FLOW_AUG: the reference's aug'd "
+            "flow path never defines flow_images (ref: train_ssl.py:498-502)")
+        from dino_video_summarization_transformer_tpu.models.vit2d import (
+            vit2d_small)
+        from dino_video_summarization_transformer_tpu.train.ssl import (
+            init_two_stream_state, make_two_stream_train_step)
+
+        motion_cfg = vit2d_small(img_size=cfg.DATA.CROP_SIZE)
+        pretrained_motion = None
+        if args.pretrained_motion:
+            pretrained_motion = convert.convert_dino_vit2d_checkpoint(
+                args.pretrained_motion, motion_cfg)
+            print(f"Loaded motion ViT from {args.pretrained_motion}")
+        state, core, mask = init_two_stream_state(
+            jax.random.key(args.seed), mcfg, motion_cfg,
+            out_dim=args.out_dim, optimizer=args.optimizer,
+            pretrained_backbone=pretrained_backbone,
+            pretrained_motion=pretrained_motion)
+        state = jax.device_put(state, replicated(mesh))
+        step_fn = make_two_stream_train_step(
+            mcfg, motion_cfg, core, mask,
+            n_local_crops=args.local_crops_number, clip_grad=args.clip_grad,
+            compute_dtype=compute_dtype, mesh=mesh, remat=args.use_remat)
+    elif rand_fr:
+        from dino_video_summarization_transformer_tpu.train.ssl import (
+            make_rand_fr_train_step)
+
+        state, core, mask = init_train_state(
+            jax.random.key(args.seed), mcfg, out_dim=args.out_dim,
+            optimizer=args.optimizer,
+            pretrained_backbone=pretrained_backbone)
+        state = jax.device_put(state, replicated(mesh))
+        step_fn = make_rand_fr_train_step(
+            mcfg, core, mask, clip_grad=args.clip_grad,
+            compute_dtype=compute_dtype, mesh=mesh)
+    else:
+        state, core, mask = init_train_state(
+            jax.random.key(args.seed), mcfg, out_dim=args.out_dim,
+            optimizer=args.optimizer,
+            pretrained_backbone=pretrained_backbone, two_token=two_token,
+            cnn_distill_dim=1024 if (
+                cnn_params is not None and args.cnn_distill_weight > 0) else 0)
+        state = jax.device_put(state, replicated(mesh))
+        step_fn = make_train_step(
+            mcfg, core, mask,
+            n_local_crops=2 if two_token else args.local_crops_number,
+            clip_grad=args.clip_grad,
+            compute_dtype=compute_dtype,
+            mesh=mesh, remat=args.use_remat, two_token=two_token,
+            cnn_params=cnn_params,
+            cnn_distill_weight=args.cnn_distill_weight)
 
     # ---------------- schedules --------------------------------------------
     lr_sched, wd_sched, mom_sched = build_schedules(args, niter_per_ep)
@@ -233,22 +327,41 @@ def train_svt(args):
                                 batch_size=per_host, collate=collate)
         metric_logger = MetricLogger(delimiter="  ")
         header = f"Epoch: [{epoch}/{args.epochs}]"
-        for it, (g, l) in enumerate(metric_logger.log_every(loader, 10, header)):
+        # NaN guard & meter updates are drained every SYNC_EVERY steps
+        # instead of per step: a per-step float() would stall the dispatch
+        # pipeline on TPU (the reference's loss.item() has the same cost on
+        # GPU, ref: train_ssl.py:530; abort semantics are preserved within
+        # a SYNC_EVERY-step window)
+        SYNC_EVERY = 10
+        pending = []  # (it, global_it, device metrics dict)
+
+        def drain():
+            for p_it, p_gi, p_metrics in pending:
+                vals = {k: float(v) for k, v in p_metrics.items()}
+                if not math.isfinite(vals["loss"]):
+                    print(f"Loss is {vals['loss']}, stopping training",
+                          flush=True)
+                    sys.exit(1)
+                metric_logger.update(lr=lr_sched[p_gi], wd=wd_sched[p_gi],
+                                     **vals)
+            pending.clear()
+
+        for it, batch in enumerate(metric_logger.log_every(loader, 10, header)):
             if args.max_steps_per_epoch and it >= args.max_steps_per_epoch:
                 break
             gi = min(epoch * niter_per_ep + it, len(lr_sched) - 1)
-            g_dev = jax.device_put(jnp.asarray(g), d_shard)
-            l_dev = jax.device_put(jnp.asarray(l), d_shard)
+            batch_dev = jax.device_put(
+                jax.tree.map(jnp.asarray, batch), d_shard)
+            step_args = (batch_dev,) if rand_fr else tuple(batch_dev)
             state, metrics = step_fn(
-                state, g_dev, l_dev,
+                state, *step_args,
                 float(lr_sched[gi]), float(wd_sched[gi]), float(mom_sched[gi]),
                 float(tt_sched[min(epoch, len(tt_sched) - 1)]),
                 epoch < args.freeze_last_layer)
-            loss = float(metrics["loss"])
-            if not math.isfinite(loss):
-                print(f"Loss is {loss}, stopping training", flush=True)
-                sys.exit(1)
-            metric_logger.update(loss=loss, lr=lr_sched[gi], wd=wd_sched[gi])
+            pending.append((it, gi, metrics))
+            if len(pending) >= SYNC_EVERY:
+                drain()
+        drain()
 
         # checkpointing (ref: train_ssl.py:441-455)
         save_checkpoint(ckpt_path, state, {"epoch": epoch + 1})
