@@ -242,6 +242,7 @@ class ClipDataset:
     def __init__(self, cfg, mode: str, num_retries: int = 10,
                  get_flow: bool = False, temporal_aug: bool = False,
                  two_token: bool = False, rand_fr: bool = False,
+                 tiled_local: bool = False,
                  csv_name: Optional[str] = None, seed: Optional[int] = None):
         assert mode in ("train", "val", "test")
         self.cfg = cfg
@@ -254,6 +255,9 @@ class ClipDataset:
         # rand_fr: variable-frame-count multi-crop — globals of 4 and 8
         # frames, locals of [2,2,4,4,8,8,16,16] (ref: decoder.py:418-427)
         self.rand_fr = rand_fr
+        # tiled_local: decode_custom's variant — locals are 8 overlapping
+        # 96x96 SPATIAL tiles of one random frame (ref: decoder.py:447-623)
+        self.tiled_local = tiled_local
         # optical-flow folder companion to each video, fed to the motion
         # stream of TWO_STREAM training (ref: kinetics.py:314-348)
         self.get_flow = get_flow
@@ -284,12 +288,16 @@ class ClipDataset:
 
     def _decode_clip(self, index: int):
         """Decode + temporal sampling; returns (T,H,W,C) uint8 or list of
-        clips under temporal_aug (ref: decoder.py:307-446)."""
+        clips under temporal_aug (ref: decoder.py:307-446).
+
+        The plain (non-multi-crop) path uses selective PTS-range decode:
+        probe the container, compute the clip's sample indices, then
+        keyframe-seek and decode ONLY those frames (ref: decoder.py:217-304
+        pyav_decode) — the multi-crop paths span the whole video and decode
+        it all, as the reference's decode_all_video branch does."""
         cfg = self.cfg
         path = self._path_to_videos[index]
-        frames, fps = vio.read_video(path)
-        if frames.shape[0] == 0:
-            return None
+        multi_crop = (self.two_token or self.temporal_aug) and self.mode == "train"
 
         if self.mode in ("train", "val"):
             clip_idx = -1
@@ -301,6 +309,33 @@ class ClipDataset:
         sampling_rate = cfg.DATA.SAMPLING_RATE
         num_frames = cfg.DATA.NUM_FRAMES
         target_fps = cfg.DATA.TARGET_FPS
+
+        if not multi_crop:
+            try:
+                info = vio.video_info(path)
+            except vio.DecodeError:
+                return None
+            size = info["num_frames"]
+            if size > 0:
+                fps = info["fps"] or target_fps
+                clip_sz = sampling_rate * num_frames / target_fps * fps
+                start_idx, end_idx = get_start_end_idx(
+                    size, clip_sz, clip_idx, num_clips_total, rng=self.rng)
+                # temporal_sampling's exact index rule over the full video
+                idx = np.linspace(start_idx, end_idx, num_frames,
+                                  dtype=np.float32)
+                idx = np.clip(idx, 0, size - 1).astype(np.int64)
+                try:
+                    clip = vio.read_video_indices(path, idx)
+                except vio.DecodeError:
+                    return None
+                return clip if clip.shape[0] else None
+            # container doesn't report nb_frames: fall through to whole decode
+
+        frames, fps = vio.read_video(path)
+        if frames.shape[0] == 0:
+            return None
+
         fps = fps or target_fps
         clip_sz = sampling_rate * num_frames / target_fps * fps
         start_idx, end_idx = get_start_end_idx(
@@ -339,6 +374,14 @@ class ClipDataset:
             # 2 global + 8 local clips (ref: decoder.py:428-440)
             g1 = temporal_sampling(frames, 0, max_len - 5, num_frames)
             g2 = temporal_sampling(frames, 5, max_len, num_frames)
+            if self.tiled_local:
+                # decode_custom: locals = 8 overlapping 96x96 spatial tiles
+                # of one random frame (ref: decoder.py:576-601)
+                from .transform import spatial_tile_local_crops
+
+                ri = int(self.rng.randint(0, max(max_len - local_width, 1)))
+                one = temporal_sampling(frames, ri, ri, 1)[0]
+                return [g1, g2, *spatial_tile_local_crops(one)]
             locals_ = []
             for _ in range(8):
                 ri = int(self.rng.randint(0, max(max_len - local_width, 1)))

@@ -308,6 +308,30 @@ class VideoDataAugmentationDINO:
         return crops
 
 
+def spatial_tile_local_crops(frame_hwc: np.ndarray) -> list:
+    """decode_custom's spatial-tiling local crops
+    (ref: datasets_custom/decoder.py:576-601): one frame, center-cropped to
+    240x240, cut into 8 overlapping 96x96 tiles on a 2x4 grid (x stride 48,
+    rows at y=24 and y=120). Returns 8 arrays of (1, 96, 96, C).
+
+    The reference imports decode_custom (kinetics.py:15) but never calls
+    it; the variant is exposed here behind ClipDataset(tiled_local=True)
+    for capability parity.
+    """
+    tchw = np.moveaxis(frame_hwc[None], -1, 1)  # (1, C, H, W)
+    tchw, _ = uniform_crop(tchw, 240, spatial_idx=1)
+    frame = np.moveaxis(tchw[0], 0, -1)  # (240, 240, C)
+    tiles = []
+    x_start, y_start = 0, 24
+    for i in range(8):
+        tiles.append(frame[y_start:y_start + 96, x_start:x_start + 96, :][None])
+        x_start += 48
+        if i == 3:
+            y_start += 96
+            x_start = 0
+    return tiles
+
+
 def temporal_sampling(frames: np.ndarray, start_idx, end_idx, num_samples) -> np.ndarray:
     """Equal-interval index sampling (ref: datasets_custom/decoder.py:14-31).
     frames (T, ...)."""

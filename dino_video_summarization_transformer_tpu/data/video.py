@@ -64,6 +64,17 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.dvst_decode_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double),
+    ]
     lib.dvst_decode_indices.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int64),
@@ -135,6 +146,28 @@ def read_video(
     fps = ctypes.c_double()
     rc = lib.dvst_decode_strided(
         path.encode(), start, stride, max_frames,
+        ctypes.byref(out), ctypes.byref(t), ctypes.byref(h), ctypes.byref(w),
+        ctypes.byref(fps),
+    )
+    if rc != 0:
+        raise DecodeError(lib.dvst_last_error().decode())
+    return _take(out, t.value, h.value, w.value, lib), fps.value
+
+
+def read_video_range(path: str, start: int, end: int,
+                     stride: int = 1) -> Tuple[np.ndarray, float]:
+    """Selective PTS-range decode: keyframe-seek to ``start``, decode only
+    display frames in [start, end] keeping every ``stride``-th
+    (ref: datasets_custom/decoder.py:217-304 pyav_decode's clip window).
+    Returns ((T, H, W, 3) uint8, fps)."""
+    lib = _load_lib()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    t = ctypes.c_int64()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    fps = ctypes.c_double()
+    rc = lib.dvst_decode_range(
+        path.encode(), int(start), int(end), int(stride),
         ctypes.byref(out), ctypes.byref(t), ctypes.byref(h), ctypes.byref(w),
         ctypes.byref(fps),
     )

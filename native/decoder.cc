@@ -15,6 +15,7 @@
 // plus a tiny mpeg4 encoder used to synthesize test fixtures.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -46,9 +47,17 @@ void set_error(const std::string& msg) { g_error = msg; }
 
 // Shared decode loop. `want(i)` decides whether display-ordered frame i is
 // kept; decoding stops after `stop_after` (or EOF when < 0).
+//
+// `seek_to` >= 0 requests a keyframe seek to that display-ordered frame
+// before decoding (the reference's pyav PTS-window path,
+// ref: datasets_custom/decoder.py:217-304): the demuxer jumps to the
+// nearest keyframe at or before the target instead of decoding the whole
+// prefix. After a seek the display index of each frame is recovered from
+// its best-effort PTS; streams without usable PTS fall back to a plain
+// from-the-start decode (count-based indexing stays exact).
 template <typename WantFn>
 int decode_loop(const char* path, WantFn want, int64_t stop_after,
-                DecodeResult* out) {
+                DecodeResult* out, int64_t seek_to = -1) {
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
     set_error(std::string("cannot open ") + path);
@@ -89,6 +98,22 @@ int decode_loop(const char* path, WantFn want, int64_t stop_after,
   out->fps = fr.den ? av_q2d(fr) : 0.0;
   out->total_frames = st->nb_frames;
 
+  // optional keyframe seek; indices then derive from PTS. Index math uses
+  // r_frame_rate (the stream's base rate from pts deltas) — avg_frame_rate
+  // folds container duration rounding (e.g. mp4 reports 60/1.967s = 30.5
+  // for a 30 fps stream) and would drift the mapping by a frame per ~2 s.
+  bool idx_from_pts = false;
+  const double tb = av_q2d(st->time_base);
+  AVRational ifr = st->r_frame_rate.num ? st->r_frame_rate : st->avg_frame_rate;
+  const double idx_fps = ifr.den ? av_q2d(ifr) : 0.0;
+  if (seek_to > 0 && idx_fps > 0.0 && tb > 0.0) {
+    int64_t ts = static_cast<int64_t>(llround(seek_to / idx_fps / tb));
+    if (av_seek_frame(fmt, vstream, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
+      avcodec_flush_buffers(cc);
+      idx_from_pts = true;
+    }
+  }
+
   SwsContext* sws = nullptr;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
@@ -96,21 +121,43 @@ int decode_loop(const char* path, WantFn want, int64_t stop_after,
   const size_t frame_bytes = static_cast<size_t>(cc->width) * cc->height * 3;
   int ret = 0;
   bool done = false;
+  // sws_scale's SIMD paths can write past unaligned row ends, so it
+  // targets a 32-byte-aligned scratch image whose rows are then packed
+  // into the contiguous output (widths like 300 px corrupted the heap
+  // when scaling straight into the packed buffer)
+  uint8_t* scratch_data[4] = {nullptr};
+  int scratch_linesize[4] = {0};
 
   auto handle_frame = [&](AVFrame* f) {
+    if (idx_from_pts) {
+      int64_t pts = f->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE) {
+        // unusable timestamps: bail out; caller retries without seeking
+        done = true;
+        ret = -2;
+        return;
+      }
+      idx = static_cast<int64_t>(llround(pts * tb * idx_fps));
+    }
     if (want(idx)) {
       if (!sws) {
         sws = sws_getContext(cc->width, cc->height,
                              static_cast<AVPixelFormat>(f->format), cc->width,
                              cc->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
                              nullptr, nullptr, nullptr);
+        av_image_alloc(scratch_data, scratch_linesize, cc->width, cc->height,
+                       AV_PIX_FMT_RGB24, 32);
       }
+      sws_scale(sws, f->data, f->linesize, 0, cc->height, scratch_data,
+                scratch_linesize);
       size_t off = out->rgb.size();
       out->rgb.resize(off + frame_bytes);
-      uint8_t* dst_data[1] = {out->rgb.data() + off};
-      int dst_linesize[1] = {cc->width * 3};
-      sws_scale(sws, f->data, f->linesize, 0, cc->height, dst_data,
-                dst_linesize);
+      const int row = cc->width * 3;
+      for (int y = 0; y < cc->height; ++y) {
+        std::memcpy(out->rgb.data() + off + static_cast<size_t>(y) * row,
+                    scratch_data[0] + static_cast<size_t>(y) * scratch_linesize[0],
+                    row);
+      }
       out->t += 1;
     }
     idx += 1;
@@ -140,6 +187,7 @@ int decode_loop(const char* path, WantFn want, int64_t stop_after,
   av_frame_free(&frame);
   av_packet_free(&pkt);
   if (sws) sws_freeContext(sws);
+  if (scratch_data[0]) av_freep(&scratch_data[0]);
   avcodec_free_context(&cc);
   avformat_close_input(&fmt);
   return ret;
@@ -215,6 +263,34 @@ int dvst_decode_strided(const char* path, int64_t start, int64_t stride,
   return 0;
 }
 
+// Selective PTS-range decode: keyframe-seek to `start`, decode only frames
+// with display index in [start, end], keeping every `stride`-th
+// (ref: datasets_custom/decoder.py:217-304 pyav_decode's clip window).
+// Falls back to a from-the-start decode if the stream's timestamps are
+// unusable after seeking. Returns RGB24 (T, H, W, 3).
+int dvst_decode_range(const char* path, int64_t start, int64_t end,
+                      int64_t stride, uint8_t** out, int64_t* T, int* H,
+                      int* W, double* fps) {
+  if (stride <= 0) stride = 1;
+  if (start < 0) start = 0;
+  auto want = [&](int64_t i) {
+    return i >= start && i <= end && (i - start) % stride == 0;
+  };
+  DecodeResult r;
+  int rc = decode_loop(path, want, end, &r, /*seek_to=*/start);
+  if (rc == -2) {  // no usable PTS after seek: retry without seeking
+    r = DecodeResult();
+    rc = decode_loop(path, want, end, &r);
+  }
+  if (rc != 0) return -1;
+  *out = move_to_heap(r);
+  *T = r.t;
+  *H = r.h;
+  *W = r.w;
+  *fps = r.fps;
+  return 0;
+}
+
 // Decode exactly the display-ordered frames named in `indices` (sorted or
 // not; duplicates allowed — each unique frame is decoded once and copied
 // per occurrence, matching read_video_pyav's gather semantics,
@@ -227,38 +303,46 @@ int dvst_decode_indices(const char* path, const int64_t* indices, int64_t n,
   uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
 
   size_t next = 0;
+  std::vector<int64_t> decoded_ids;  // display index of each kept rgb row
   int64_t last = uniq.empty() ? -1 : uniq.back();
   auto want = [&](int64_t i) {
+    // a (non-exact) seek may land past early targets; skip them
+    while (next < uniq.size() && uniq[next] < i) next += 1;
     if (next < uniq.size() && i == uniq[next]) {
       next += 1;
+      decoded_ids.push_back(i);
       return true;
     }
     return false;
   };
   DecodeResult r;
-  if (decode_loop(path, want, last, &r) != 0) return -1;
+  int64_t first = uniq.empty() ? -1 : uniq.front();
+  int rc = decode_loop(path, want, last, &r, /*seek_to=*/first);
+  if (rc == -2) {  // no usable PTS after seek: retry without seeking
+    next = 0;
+    decoded_ids.clear();
+    r = DecodeResult();
+    rc = decode_loop(path, want, last, &r);
+  }
+  if (rc != 0) return -1;
 
-  // gather into requested order; out-of-range indices clamp to last decoded
+  // gather into requested order; out-of-range indices clamp to the nearest
+  // decoded frame at or below (or the first decoded frame)
   const size_t fb = static_cast<size_t>(r.h) * r.w * 3;
   std::vector<uint8_t> gathered(fb * n);
+  const size_t decoded = decoded_ids.size();
   for (int64_t k = 0; k < n; ++k) {
-    int64_t want_idx = indices[k];
-    // position of want_idx among the decoded uniq frames
-    size_t pos = 0;
-    size_t decoded = static_cast<size_t>(r.t);
-    for (size_t u = 0; u < uniq.size() && u < decoded; ++u) {
-      if (uniq[u] == want_idx) {
-        pos = u;
-        break;
-      }
-      if (uniq[u] < want_idx) pos = u;  // clamp to nearest-below if missing
-    }
     if (decoded == 0) {
       std::memset(gathered.data() + fb * k, 0, fb);
-    } else {
-      if (pos >= decoded) pos = decoded - 1;
-      std::memcpy(gathered.data() + fb * k, r.rgb.data() + fb * pos, fb);
+      continue;
     }
+    int64_t want_idx = indices[k];
+    size_t pos = 0;
+    for (size_t u = 0; u < decoded; ++u) {
+      if (decoded_ids[u] <= want_idx) pos = u;
+      if (decoded_ids[u] >= want_idx) break;
+    }
+    std::memcpy(gathered.data() + fb * k, r.rgb.data() + fb * pos, fb);
   }
   r.rgb = std::move(gathered);
   r.t = n;

@@ -64,6 +64,65 @@ def test_decode_indices(synth_video):
     np.testing.assert_array_equal(picked, full[idx])
 
 
+def test_decode_range_roundtrip(synth_video):
+    """Seek-based PTS-range decode == whole-decode slice
+    (ref: decoder.py:217-304)."""
+    path, _ = synth_video
+    full, _ = vio.read_video(path)
+    for (s, e, st) in [(20, 45, 1), (50, 59, 2), (0, 5, 1), (55, 80, 1)]:
+        r, fps = vio.read_video_range(path, s, e, st)
+        np.testing.assert_array_equal(r, full[s:min(e + 1, 60):st])
+
+
+def test_decode_range_long_video_clip(tmp_path):
+    """Clip-at-the-end selective decode matches the whole-decode slice on a
+    longer GOP-structured video (exercises the keyframe seek)."""
+    if not vio.native_available():
+        pytest.skip("native decoder not built")
+    path = str(tmp_path / "long.avi")
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (400, 64, 80, 3), dtype=np.uint8)
+    vio.write_video(path, frames, fps=30.0)
+    full, _ = vio.read_video(path)
+    r, _ = vio.read_video_range(path, 350, 390)
+    np.testing.assert_array_equal(r, full[350:391])
+    picked = vio.read_video_indices(path, [355, 360, 399])
+    np.testing.assert_array_equal(picked, full[[355, 360, 399]])
+
+
+def test_clip_dataset_selective_decode_matches_whole(tmp_path):
+    """ClipDataset's plain path (selective index decode) must produce the
+    same clip as whole-decode + temporal_sampling."""
+    from dino_video_summarization_transformer_tpu.config import get_cfg
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        ClipDataset)
+
+    if not vio.native_available():
+        pytest.skip("native decoder not built")
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (90, 128, 160, 3), dtype=np.uint8)
+    vio.write_video(str(tmp_path / "v.avi"), frames, fps=30.0)
+    (tmp_path / "test.csv").write_text("v.avi 0\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(tmp_path)
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 4
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+
+    ds = ClipDataset(cfg, "test", seed=0)
+    clip0 = ds._decode_clip(0)  # deterministic test clips
+    # manual whole-decode path
+    whole, fps = vio.read_video(str(tmp_path / "v.avi"))
+    clip_sz = 4 * 8 / cfg.DATA.TARGET_FPS * fps
+    start, end = tfm.get_start_end_idx(90, clip_sz, 0, 2)
+    manual = tfm.temporal_sampling(whole, start, end, 8)
+    np.testing.assert_array_equal(clip0, manual)
+
+
 def test_video_info(synth_video):
     path, frames = synth_video
     info = vio.video_info(path)

@@ -253,6 +253,66 @@ def test_dataset_get_flow(clip_data):
     assert meta["flow"][0].min() > -0.2
 
 
+def test_spatial_tile_local_crops_matches_reference():
+    """Tile geometry vs the reference decode_custom loop
+    (ref: decoder.py:576-601), driven by the real reference uniform_crop."""
+    import torch
+
+    import conftest as _c
+
+    _c.add_reference_path()
+    from datasets_custom.transform import uniform_crop as ref_uniform_crop
+
+    from dino_video_summarization_transformer_tpu.data.transform import (
+        spatial_tile_local_crops)
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 256, (260, 300, 3), dtype=np.uint8)
+
+    # reference transliteration (decoder.py:576-601)
+    lf = torch.from_numpy(frame[None].astype(np.float32))
+    lf = lf.permute(0, 3, 1, 2)
+    lf, _ = ref_uniform_crop(lf, 240, spatial_idx=1)
+    lf = lf.permute(0, 2, 3, 1).squeeze(0)
+    ref_tiles = []
+    x_start, y_start = 0, 24
+    for i in range(8):
+        ref_tiles.append(lf[y_start:y_start + 96, x_start:x_start + 96, :]
+                         .unsqueeze(0).numpy())
+        x_start += 48
+        if i == 3:
+            y_start += 96
+            x_start = 0
+
+    got = spatial_tile_local_crops(frame.astype(np.float32))
+    assert len(got) == 8
+    for g, r in zip(got, ref_tiles):
+        assert g.shape == (1, 96, 96, 3)
+        np.testing.assert_array_equal(g, r)
+
+
+def test_dataset_tiled_local(tmp_path):
+    from dino_video_summarization_transformer_tpu.data import video as vio
+    from dino_video_summarization_transformer_tpu.data.datasets import ClipDataset
+
+    if not vio.native_available():
+        pytest.skip("native decoder not built")
+    # frames must exceed the 240px tiling crop (the reference's
+    # decode_custom assumes >=240px inputs)
+    rng = np.random.RandomState(0)
+    vio.write_video(str(tmp_path / "v.avi"),
+                    rng.randint(0, 256, (30, 260, 300, 3), dtype=np.uint8),
+                    fps=30)
+    (tmp_path / "train.csv").write_text("v.avi 0\n")
+    ds = ClipDataset(_cfg_for(tmp_path), "train", temporal_aug=True,
+                     tiled_local=True, seed=0)
+    crops, label, idx, meta = ds[0]
+    assert len(crops) == 10
+    # globals T=4 @224; locals single-frame 96x96 tiles
+    assert crops[0].shape == (3, 4, 224, 224)
+    assert crops[2].shape == (3, 1, 96, 96)
+
+
 def test_sobel_np_matches_jnp():
     from dino_video_summarization_transformer_tpu.data.datasets import _sobel_np
     from dino_video_summarization_transformer_tpu.ops.image import sobel
