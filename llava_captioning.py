@@ -42,23 +42,79 @@ def get_args_parser():
 
 
 def make_hf_captioner(model_path: str, prompt: str):
-    """Local transformers video-LLM (Video-LLaVA / LLaVA-NeXT-Video style)."""
+    """Local transformers video-LLM (Video-LLaVA / LLaVA-NeXT-Video style).
+
+    Two preprocessing paths:
+    * the model dir ships a full processor with a video processor -> use it
+      (the published Video-LLaVA layout);
+    * otherwise (e.g. environments without torchvision, which transformers'
+      video processors require) preprocess manually: run the image
+      processor per frame, stack to ``pixel_values_videos``, and expand the
+      single ``<video>`` placeholder to the model's per-video token count —
+      exactly what the processor would do.
+    """
     import torch
-    from transformers import AutoProcessor
+    from transformers import AutoProcessor, AutoTokenizer
 
     try:
         from transformers import VideoLlavaForConditionalGeneration as VLM
     except ImportError:  # older/newer naming
         from transformers import AutoModelForVision2Seq as VLM
 
-    processor = AutoProcessor.from_pretrained(model_path)
-    model = VLM.from_pretrained(model_path, torch_dtype=torch.float16)
+    dtype = torch.float16 if torch.cuda.is_available() else torch.float32
+    model = VLM.from_pretrained(model_path, torch_dtype=dtype)
+
+    processor = None
+    try:
+        processor = AutoProcessor.from_pretrained(model_path)
+    except Exception as e:
+        print(f"full processor unavailable ({e}); using manual video "
+              "preprocessing")
+    if processor is not None and getattr(processor, "video_processor", None) is None:
+        processor = None
+
+    if processor is not None:
+        tokenizer = processor.tokenizer
+
+        def preprocess(text, frames):
+            return processor(text=text, videos=list(frames),
+                             return_tensors="pt")
+    else:
+        from transformers import AutoImageProcessor
+
+        image_processor = AutoImageProcessor.from_pretrained(model_path)
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+        vcfg = model.config.vision_config
+        # VideoLlava keeps the CLS token for VIDEO features regardless of
+        # the select strategy (modeling_video_llava.get_video_features)
+        per_frame = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+        video_token_id = model.config.video_token_index
+
+        def preprocess(text, frames):
+            feats = image_processor(images=list(frames), return_tensors="pt")
+            # VideoLlava's image processor names its output
+            # pixel_values_images; generic ones use pixel_values
+            key = ("pixel_values_images" if "pixel_values_images" in feats
+                   else "pixel_values")
+            pix = feats[key]
+            ids = tokenizer(text, return_tensors="pt")["input_ids"][0]
+            n_video_tokens = per_frame * len(frames)
+            expanded = []
+            for tok in ids.tolist():
+                expanded.extend([tok] * n_video_tokens
+                                if tok == video_token_id else [tok])
+            input_ids = torch.tensor([expanded])
+            return {
+                "input_ids": input_ids,
+                "attention_mask": torch.ones_like(input_ids),
+                "pixel_values_videos": pix.unsqueeze(0).to(dtype),
+            }
 
     def caption(frames):  # frames (T, H, W, 3) uint8
         text = f"USER: <video>\n{prompt} ASSISTANT:"
-        inputs = processor(text=text, videos=list(frames), return_tensors="pt")
+        inputs = preprocess(text, frames)
         out = model.generate(**inputs, max_new_tokens=60, do_sample=False)
-        decoded = processor.batch_decode(out, skip_special_tokens=True)[0]
+        decoded = tokenizer.batch_decode(out, skip_special_tokens=True)[0]
         return decoded.split("ASSISTANT:")[-1].strip()
 
     return caption

@@ -96,3 +96,107 @@ def test_captioning_end_to_end_metrics(tmp_path):
     out = ce.main("adaptive", None, args=A())
     assert out["bleu"] == pytest.approx(1.0)
     assert out["cider"] > 5.0  # perfect matches score near 10
+
+
+# ---------------------------------------------------------------------------
+# HF captioner path (tiny locally-constructed Video-LLaVA, random weights)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_videollava_dir(tmp_path_factory):
+    """A tiny VideoLlava checkpoint dir built offline: word-level tokenizer,
+    2-layer CLIP tower, 2-layer Llama decoder (ref integration point:
+    Video-LLaVA/llava_captioning.py:26-34)."""
+    pytest.importorskip("transformers")
+    import torch  # noqa: F401
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import (CLIPVisionConfig, LlamaConfig,
+                              PreTrainedTokenizerFast, VideoLlavaConfig,
+                              VideoLlavaForConditionalGeneration,
+                              VideoLlavaImageProcessor)
+
+    d = str(tmp_path_factory.mktemp("vllava"))
+    words = ["USER:", "ASSISTANT:", "Describe", "the", "video", "in", "one",
+             "sentence.", "a", "cat"]
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2, "<pad>": 3, "<video>": 4,
+             "<image>": 5}
+    for w in words:
+        vocab[w] = len(vocab)
+    tok = Tokenizer(models.WordLevel(vocab=vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>", pad_token="<pad>")
+    fast.add_special_tokens(
+        {"additional_special_tokens": ["<video>", "<image>"]})
+
+    vis = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=224, patch_size=56)
+    txt = LlamaConfig(hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      vocab_size=len(vocab) + 2,
+                      max_position_embeddings=2048)
+    cfg = VideoLlavaConfig(vision_config=vis, text_config=txt,
+                           video_token_index=4, image_token_index=5)
+    model = VideoLlavaForConditionalGeneration(cfg)
+    ip = VideoLlavaImageProcessor(size={"shortest_edge": 224},
+                                  crop_size={"height": 224, "width": 224})
+    model.save_pretrained(d)
+    ip.save_pretrained(d)
+    fast.save_pretrained(d)
+    return d
+
+
+@pytest.mark.slow
+def test_hf_captioner_tiny_videollava(tiny_videollava_dir):
+    """make_hf_captioner's preprocessing (manual video-token expansion when
+    the env lacks torchvision video processors) drives a real VideoLlava
+    generate end-to-end."""
+    import llava_captioning as lc
+
+    cap = lc.make_hf_captioner(tiny_videollava_dir,
+                               "Describe the video in one sentence.")
+    frames = np.random.RandomState(0).randint(
+        0, 256, (8, 224, 224, 3), dtype=np.uint8)
+    text = cap(frames)
+    assert isinstance(text, str) and len(text) > 0
+
+
+@pytest.mark.slow
+def test_llava_captioning_cli_hf(tmp_path, tiny_videollava_dir):
+    """llava_captioning.py end-to-end with the tiny HF model: selection ->
+    selective decode -> generate -> CSV rows."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from dino_video_summarization_transformer_tpu.data import video as vio
+
+    if not vio.native_available():
+        pytest.skip("native decoder not built")
+    rng = np.random.RandomState(0)
+    for name in ("clip_a", "clip_b"):
+        vio.write_video(str(tmp_path / f"{name}.avi"),
+                        rng.randint(0, 256, (48, 240, 320, 3), dtype=np.uint8),
+                        fps=30)
+    (tmp_path / "test.csv").write_text("clip_a.avi 0\nclip_b.avi 0\n")
+    loss_file = str(tmp_path / "loss.json")
+    json.dump({"clip_a": list(rng.rand(12)), "clip_b": list(rng.rand(12))},
+              open(loss_file, "w"))
+    out_csv = str(tmp_path / "captions.csv")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(conftest.REPO_ROOT, "llava_captioning.py"),
+         "--data_path", str(tmp_path), "--loss_file", loss_file,
+         "--output_csv", out_csv, "--captioner", "hf",
+         "--model_path", tiny_videollava_dir, "--num_frames", "8"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=conftest.REPO_ROOT)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rows = open(out_csv).read().splitlines()
+    assert len(rows) == 2
+    assert rows[0].startswith("clip_a.avi ")
+    assert rows[0].endswith('</s>"')
