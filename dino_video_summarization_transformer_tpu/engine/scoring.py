@@ -271,16 +271,18 @@ class FrameScorer:
 
     # -- chunk runner ------------------------------------------------------------
 
-    def _run_chunks(self, fn, buf: _PieceBuffer, positions: np.ndarray,
-                    idx_mats: List[np.ndarray], extra_rows=None,
-                    evict: bool = True) -> np.ndarray:
-        """Run a chunked kernel over a subset of frame positions.
+    def _run_chunks_async(self, fn, buf: _PieceBuffer, positions: np.ndarray,
+                          idx_mats: List[np.ndarray], extra_rows=None,
+                          evict: bool = True) -> List[tuple]:
+        """Run a chunked kernel over a subset of frame positions, WITHOUT
+        fetching: returns [(device_out, n_valid)] with all dispatches queued.
 
         fn(params, span, *idx_chunks[, extra_chunk]) -> (chunk, ...).
         ``idx_mats`` are (T, W_i) window-index maps in the video timeline;
-        rows are taken at ``positions``. Pieces are uploaded ahead of the
-        compute dispatches (LOOKAHEAD pieces) and evicted behind them;
-        results are fetched once at the end.
+        rows are taken at ``positions``. ``extra_rows`` may be a host array
+        or a device array (device arrays keep the whole chain sync-free).
+        Pieces are uploaded ahead of the compute dispatches (LOOKAHEAD
+        pieces) and evicted behind them.
         """
         chunk = self.chunk
         P = buf.piece
@@ -301,6 +303,15 @@ class FrameScorer:
             K = max(K, k)
             spans.append((i0, mats))
 
+        if extra_rows is not None:
+            # one padded (n_chunks, chunk, D) view so the per-chunk slice is
+            # a single cheap device (or host) op
+            n_chunks = len(chunk_rows)
+            pad = n_chunks * chunk - extra_rows.shape[0]
+            xp = jnp if isinstance(extra_rows, jnp.ndarray) else np
+            extra_mat = xp.pad(extra_rows, ((0, pad), (0, 0))).reshape(
+                n_chunks, chunk, extra_rows.shape[1])
+
         outs = []
         inflight: List[jnp.ndarray] = []
         for ci, ((i0, mats), rows) in enumerate(zip(spans, chunk_rows)):
@@ -316,10 +327,7 @@ class FrameScorer:
                     rel = np.pad(rel, ((0, chunk - n), (0, 0)))
                 args.append(jnp.asarray(rel))
             if extra_rows is not None:
-                ex = extra_rows[ci * chunk:ci * chunk + n]
-                if n < chunk:
-                    ex = np.pad(ex, ((0, chunk - n), (0, 0)))
-                args.append(jnp.asarray(ex))
+                args.append(jnp.asarray(extra_mat[ci]))
             out = fn(*args)
             inflight.append(out)
             outs.append((out, n))
@@ -327,39 +335,62 @@ class FrameScorer:
                 # drain the oldest dispatch so the device queue (and piece
                 # memory for very long videos) stays bounded
                 inflight.pop(0).block_until_ready()
-        return np.concatenate([np.asarray(o)[:n] for o, n in outs])
+        return outs
+
+    def _run_chunks(self, fn, buf: _PieceBuffer, positions: np.ndarray,
+                    idx_mats: List[np.ndarray], extra_rows=None,
+                    evict: bool = True) -> np.ndarray:
+        """Synchronous wrapper: queue all chunks, fetch once."""
+        outs = self._run_chunks_async(fn, buf, positions, idx_mats,
+                                      extra_rows=extra_rows, evict=evict)
+        return _fetch_outs(outs)
 
     # -- public API ------------------------------------------------------------
 
-    def score_video(self, frames: np.ndarray, local_idx: np.ndarray,
-                    global_idx: np.ndarray, eff_global: int) -> np.ndarray:
-        """frames (T, H, W, C) float32 normalized or uint8; returns (T,)
-        losses. Uploads are pipelined with compute; one host sync per pass.
+    def score_video_async(self, frames: np.ndarray, local_idx: np.ndarray,
+                          global_idx: np.ndarray,
+                          eff_global: int) -> "PendingScore":
+        """Queue all of one video's scoring work; NO host sync.
+
+        Returns a PendingScore whose .fetch() yields the (T,) losses.
+        The whole chain — including the strided modes' teacher->student
+        feature hand-off, which is linearly interpolated ON DEVICE — stays
+        on the dispatch stream, so a caller can pipeline video i+1's
+        uploads/compute behind video i's pending fetch (run_scoring does).
         """
         if self.global_subsample > 1:
             global_idx = global_idx[:, ::self.global_subsample]
             eff_global = global_idx.shape[1]
         if self.teacher_stride > 1 or self.score_stride > 1:
-            return self._score_video_strided(
+            return self._score_video_strided_async(
                 frames, local_idx, global_idx, eff_global)
         T = frames.shape[0]
         fn = self._get(eff_global)
         buf = self._make_buffer(frames)
-        losses = self._run_chunks(
+        outs = self._run_chunks_async(
             fn, buf, np.arange(T), [local_idx, global_idx])
-        return losses.astype(np.float64)
+        return PendingScore(outs)
 
-    def _score_video_strided(self, frames, local_idx, global_idx,
-                             eff_global: int) -> np.ndarray:
+    def score_video(self, frames: np.ndarray, local_idx: np.ndarray,
+                    global_idx: np.ndarray, eff_global: int) -> np.ndarray:
+        """frames (T, H, W, C) float32 normalized or uint8; returns (T,)
+        losses. Uploads are pipelined with compute; one host sync per video.
+        """
+        return self.score_video_async(
+            frames, local_idx, global_idx, eff_global).fetch()
+
+    def _score_video_strided_async(self, frames, local_idx, global_idx,
+                                   eff_global: int) -> "PendingScore":
         """Teacher-stride / score-stride scoring.
 
         Scored positions: every ``score_stride``-th frame (+ the last
         frame). Teacher positions: every ``teacher_stride``-th scored
         position (+ the last scored position). Teacher CLS features are
         computed at teacher positions only and linearly interpolated (in
-        feature space) for the scored positions between them; per-frame
-        losses at unscored positions are linearly interpolated. All
-        approximations are quantified in BENCH.md / tests/test_fast_scoring.py.
+        feature space, on device) for the scored positions between them;
+        per-frame losses at unscored positions are linearly interpolated.
+        All approximations are quantified in BENCH.md /
+        tests/test_fast_scoring.py.
         """
         T = frames.shape[0]
         m, k = self.score_stride, self.teacher_stride
@@ -379,21 +410,25 @@ class FrameScorer:
         # eviction (wire cost overlapped with compute either way).
         buf = self._make_buffer(frames)
         resident = buf.n_pieces <= MAX_RESIDENT_PIECES
-        t_feats = self._run_chunks(teacher_fn, buf, tpos, [global_idx],
-                                   evict=not resident)
+        t_outs = self._run_chunks_async(teacher_fn, buf, tpos, [global_idx],
+                                        evict=not resident)
+        t_feats = jnp.concatenate(
+            [o[:n] for o, n in t_outs], axis=0)  # device (len(tpos), D)
 
-        # interpolate teacher features to every scored position (host:
-        # (n_scored, D) float32 lerp — microseconds next to the forwards)
+        # interpolate teacher features to every scored position — on
+        # device, from host-precomputed gather indices/weights, so pass B
+        # can be queued without waiting for pass A's results
         t_at_pos = _lerp_rows(tpos, t_feats, pos)
 
         # pass B: student forwards + loss at every scored position
         buf_b = buf if resident else self._make_buffer(frames)
-        losses_at_pos = self._run_chunks(
+        outs = self._run_chunks_async(
             student_fn, buf_b, pos, [local_idx], extra_rows=t_at_pos)
 
         if m == 1:
-            return losses_at_pos.astype(np.float64)
-        return np.interp(np.arange(T), pos, losses_at_pos).astype(np.float64)
+            return PendingScore(outs)
+        return PendingScore(
+            outs, post=lambda losses: np.interp(np.arange(T), pos, losses))
 
     def dummy_losses(self) -> np.ndarray:
         """Constant-loss protocol for corrupt / size-mismatched videos:
@@ -421,13 +456,46 @@ class FrameScorer:
             self._dummy_loss = float(val)
         return np.full(self.global_size, self._dummy_loss)
 
-    def score_item(self, item: dict) -> np.ndarray:
-        """Score one DinoLossDataset item (dict contract in datasets.py)."""
+    def score_item_async(self, item: dict) -> "PendingScore":
+        """Queue one DinoLossDataset item's scoring (dict contract in
+        datasets.py); .fetch() the returned handle for the losses."""
         if item["dummy"]:
-            return self.dummy_losses()
-        return self.score_video(
+            return PendingScore([], ready=self.dummy_losses())
+        return self.score_video_async(
             item["frames"], item["local_idx"], item["global_idx"],
             item["eff_global"])
+
+    def score_item(self, item: dict) -> np.ndarray:
+        """Score one DinoLossDataset item (dict contract in datasets.py)."""
+        return self.score_item_async(item).fetch()
+
+
+class PendingScore:
+    """Handle to a video's queued scoring dispatches.
+
+    ``outs`` is the [(device_array, n_valid)] chunk list; ``fetch()`` blocks
+    on the device stream, concatenates the valid rows, applies the optional
+    host post-processing (score-stride interpolation) and returns float64
+    losses. ``ready`` short-circuits for host-computed results (dummies).
+    """
+
+    def __init__(self, outs: List[tuple], post=None,
+                 ready: Optional[np.ndarray] = None):
+        self._outs = outs
+        self._post = post
+        self._ready = ready
+
+    def fetch(self) -> np.ndarray:
+        if self._ready is not None:
+            return np.asarray(self._ready, np.float64)
+        losses = _fetch_outs(self._outs)
+        if self._post is not None:
+            losses = self._post(losses)
+        return losses.astype(np.float64)
+
+
+def _fetch_outs(outs: List[tuple]) -> np.ndarray:
+    return np.concatenate([np.asarray(o)[:n] for o, n in outs])
 
 
 def _with_matmul_precision(precision, fn, *args):
@@ -435,17 +503,26 @@ def _with_matmul_precision(precision, fn, *args):
         return fn(*args)
 
 
-def _lerp_rows(xp: np.ndarray, rows: np.ndarray, x: np.ndarray) -> np.ndarray:
+def _lerp_rows(xp: np.ndarray, rows, x: np.ndarray):
     """Row-wise linear interpolation: rows (len(xp), D) sampled at xp,
-    evaluated at x (within [xp[0], xp[-1]]). Returns (len(x), D)."""
+    evaluated at x (within [xp[0], xp[-1]]). Returns (len(x), D).
+
+    ``rows`` may be a host numpy array or a device jnp array — the gather
+    indices/weights are host-precomputed either way, so with a device input
+    the lerp rides the dispatch stream without any host sync."""
+    on_device = isinstance(rows, jnp.ndarray)
+    lib = jnp if on_device else np
     xp = np.asarray(xp)
     if len(xp) == 1:
-        return np.repeat(rows, len(x), axis=0)
+        return lib.repeat(rows, len(x), axis=0)
     j = np.searchsorted(xp, x, side="right") - 1
     j = np.clip(j, 0, len(xp) - 2)
     x0 = xp[j]
     x1 = xp[j + 1]
-    w = ((x - x0) / np.maximum(x1 - x0, 1)).astype(rows.dtype)[:, None]
+    w = ((x - x0) / np.maximum(x1 - x0, 1)).astype(np.float32)[:, None]
+    if on_device:
+        w = jnp.asarray(w)
+    w = w.astype(rows.dtype)
     return rows[j] * (1.0 - w) + rows[j + 1] * w
 
 
@@ -475,19 +552,35 @@ def run_scoring(
     shard_id: int = 0,
     num_shards: int = 1,
     log_every: int = 1,
+    pipeline_depth: int = 2,
 ) -> None:
     """Iterate the scoring dataset with host prefetch, exporting per video.
 
     Sharding over videos replaces the reference's torch.distributed.launch
     multi-process split (ref: scripts/dino_similarity_*.sh): the scoring
     workload is embarrassingly parallel over videos.
+
+    Videos are pipelined ``pipeline_depth`` deep: video i+1's uploads and
+    compute dispatches are queued before video i's losses are fetched, so
+    the per-video host sync and JSON export hide behind the next video's
+    work — this matters for many-short-videos corpora (MSVD clips are
+    ~10 s), where per-video latency otherwise dominates.
     """
     from ..data.loader import PrefetchLoader, shard_indices
 
     idx = shard_indices(len(dataset), shard_id, num_shards)
     loader = PrefetchLoader(dataset, indices=idx, num_workers=num_workers)
+    pending: List[tuple] = []  # (path, PendingScore)
+
+    def flush_one():
+        path, handle = pending.pop(0)
+        export_loss(handle.fetch(), path, file_path)
+
     for i, item in enumerate(loader):
         if log_every and i % log_every == 0:
             print(f"{i + 1} / {len(idx)}", flush=True)
-        losses = scorer.score_item(item)
-        export_loss(losses, item["path"], file_path)
+        pending.append((item["path"], scorer.score_item_async(item)))
+        while len(pending) > pipeline_depth:
+            flush_one()
+    while pending:
+        flush_one()

@@ -49,6 +49,32 @@ def timesformer_forward_flops(cfg: TimeSformerConfig, num_frames: int) -> float:
     return flops + L * per_block
 
 
+def train_step_flops(
+    cfg: TimeSformerConfig,
+    batch_per_step: int,
+    n_local_crops: int = 8,
+    local_size_px: int = 96,
+) -> float:
+    """Analytic FLOPs of one DINO train step (global batch).
+
+    Teacher: forward-only on the 2 global crops. Student: forward+backward
+    (~3x forward) on 2 global + ``n_local_crops`` local crops. DINO heads
+    are <1% of the backbone and ignored, as are the optimizer/EMA updates
+    (elementwise). Local crops keep the global frame count but run at
+    ``local_size_px`` resolution (ref: transform.py:661-749 semantics).
+    """
+    import dataclasses
+
+    B = batch_per_step
+    T = cfg.num_frames
+    g = timesformer_forward_flops(cfg, T)
+    local_cfg = dataclasses.replace(cfg, img_size=local_size_px)
+    l = timesformer_forward_flops(local_cfg, T)
+    teacher = 2 * B * g
+    student = 3 * B * (2 * g + n_local_crops * l)
+    return teacher + student
+
+
 def scoring_flops_per_frame(
     cfg: TimeSformerConfig,
     local_size: int = 3,

@@ -29,6 +29,15 @@ REFERENCE_ROOT = "/root/reference"
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Persistent XLA compilation cache: this box has ONE CPU core, so compiles
+# dominate suite wall time; caching makes repeat runs start warm (works on
+# the CPU backend too — verified). CLI subprocesses spawned by e2e tests
+# share the same cache via enable_compilation_cache() in each entry point.
+from dino_video_summarization_transformer_tpu.utils.cache import (  # noqa: E402
+    enable_compilation_cache)
+
+enable_compilation_cache()
+
 
 
 def _stub_module(name):

@@ -141,12 +141,12 @@ def test_cv2_transform_list_ops():
 
     rng = np.random.RandomState(0)
     frames = [rng.rand(40, 60, 3).astype(np.float32) for _ in range(3)]
-    scaled = c2.random_short_side_scale_jitter_list(frames, 32, 32, rng)
+    scaled, _ = c2.random_short_side_scale_jitter_list(frames, 32, 32, rng=rng)
     assert scaled[0].shape[0] == 32
     cropped, _ = c2.spatial_shift_crop_list(24, scaled, 1)
     assert cropped[0].shape[:2] == (24, 24)
     chw = [np.moveaxis(f, -1, 0) for f in cropped]
-    flipped, _ = c2.horizontal_flip_list(1.0, chw, rng, order="CHW")
+    flipped, _ = c2.horizontal_flip_list(1.0, chw, order="CHW", rng=rng)
     np.testing.assert_allclose(flipped[0][:, :, ::-1], chw[0], atol=1e-6)
     norm = c2.color_normalization(chw[0], [0.45] * 3, [0.225] * 3)
     assert norm.shape == chw[0].shape

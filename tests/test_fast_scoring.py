@@ -57,7 +57,7 @@ def tiny_setup():
 def test_strided_path_is_exact_at_stride_one(tiny_setup):
     scorer, vid, loc, glob, eff, exact = tiny_setup
     sc = scorer()
-    strided = sc._score_video_strided(vid, loc, glob, eff)
+    strided = sc._score_video_strided_async(vid, loc, glob, eff).fetch()
     np.testing.assert_array_equal(exact, strided)
 
 

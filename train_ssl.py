@@ -77,6 +77,14 @@ def get_args_parser():
                         "the reference (teacher built, no loss term)")
     p.add_argument("--use_remat", default=False, type=bool_flag,
                    help="rematerialize student forwards (larger batches)")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="directory for a jax.profiler trace of a window of "
+                        "train steps (SURVEY §5 tracing)")
+    p.add_argument("--profile_start_step", default=10, type=int,
+                   help="global step at which the profiler trace starts "
+                        "(after compile/warmup)")
+    p.add_argument("--profile_steps", default=5, type=int,
+                   help="number of steps to trace")
     # online kNN evaluation hook (ref: train_ssl.py:576-599 eval_knn)
     p.add_argument("--knn_eval_freq", default=0, type=int,
                    help="epochs between online kNN evals (0 = off)")
@@ -316,6 +324,19 @@ def train_svt(args):
         start_epoch = int(run_vars.get("epoch", 0))
         print(f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
+    # ---------------- observability ------------------------------------------
+    # analytic FLOPs per step for achieved-TFLOP/s / MFU reporting (the
+    # reference logs only iter time + GPU memory, ref: utils/utils.py:318-370)
+    from dino_video_summarization_transformer_tpu.utils.flops import (
+        V5E_PEAK_BF16, train_step_flops)
+
+    if two_stream or rand_fr or two_token:
+        step_flops = 0.0  # mixed-geometry steps: skip the analytic model
+    else:
+        step_flops = train_step_flops(
+            mcfg, per_host * world,
+            n_local_crops=args.local_crops_number, local_size_px=96)
+
     # ---------------- train loop -------------------------------------------
     start_time = time.time()
     for epoch in range(start_epoch, args.epochs):
@@ -346,10 +367,19 @@ def train_svt(args):
                                      **vals)
             pending.clear()
 
+        epoch_t0 = time.time()
+        steps_done = 0
         for it, batch in enumerate(metric_logger.log_every(loader, 10, header)):
             if args.max_steps_per_epoch and it >= args.max_steps_per_epoch:
                 break
             gi = min(epoch * niter_per_ep + it, len(lr_sched) - 1)
+            if args.profile_dir and gi == args.profile_start_step:
+                jax.profiler.start_trace(args.profile_dir)
+            if args.profile_dir and gi == args.profile_start_step + args.profile_steps:
+                jax.block_until_ready(state.student)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {args.profile_dir}",
+                      flush=True)
             batch_dev = jax.device_put(
                 jax.tree.map(jnp.asarray, batch), d_shard)
             step_args = (batch_dev,) if rand_fr else tuple(batch_dev)
@@ -359,9 +389,18 @@ def train_svt(args):
                 float(tt_sched[min(epoch, len(tt_sched) - 1)]),
                 epoch < args.freeze_last_layer)
             pending.append((it, gi, metrics))
+            steps_done += 1
             if len(pending) >= SYNC_EVERY:
                 drain()
         drain()
+        epoch_dt = time.time() - epoch_t0
+        if step_flops and steps_done:
+            achieved = step_flops * steps_done / epoch_dt
+            n_chips = jax.device_count()
+            mfu = achieved / (V5E_PEAK_BF16 * n_chips)
+            print(f"epoch {epoch}: {achieved / 1e12:.1f} TFLOP/s over "
+                  f"{n_chips} device(s), MFU {mfu:.1%} vs v5e bf16 peak",
+                  flush=True)
 
         # checkpointing (ref: train_ssl.py:441-455)
         save_checkpoint(ckpt_path, state, {"epoch": epoch + 1})
@@ -374,6 +413,12 @@ def train_svt(args):
         train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
         log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
                      "epoch": epoch}
+        if step_flops and steps_done:
+            log_stats["achieved_tflops"] = round(
+                step_flops * steps_done / epoch_dt / 1e12, 2)
+            log_stats["mfu_vs_v5e_bf16_peak"] = round(
+                step_flops * steps_done / epoch_dt
+                / (V5E_PEAK_BF16 * jax.device_count()), 4)
         if (args.knn_eval_freq and args.knn_data_path
                 and (epoch % args.knn_eval_freq == 0 or epoch == args.epochs - 1)):
             log_stats.update(online_knn_eval(
