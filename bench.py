@@ -49,7 +49,11 @@ def main():
     p.add_argument("--mode", default="turbo", choices=sorted(MODES))
     p.add_argument("--frames", type=int, default=480)
     p.add_argument("--chunk", type=int, default=0, help="0 = auto")
-    p.add_argument("--wire", default="u8", choices=["u8", "f32"])
+    p.add_argument("--wire", default="yuv420", choices=["yuv420", "u8", "f32"],
+                   help="frame transport: yuv420 = packed planar 4:2:0 as "
+                        "decoded (1.5 B/px, color conversion fused on "
+                        "device — the production path); u8 = RGB24 "
+                        "(3 B/px); f32 = pre-normalized floats")
     p.add_argument("--repeats", type=int, default=5,
                    help="best-of; the shared TPU tunnel has high variance")
     p.add_argument("--profile", default="",
@@ -89,7 +93,15 @@ def main():
                          teacher_stride=t_stride, score_stride=s_stride)
 
     T = args.frames
-    if args.wire == "u8":
+    if args.wire == "yuv420":
+        # what the native decoder hands the dataset: packed I420 planes
+        # (data/video.py read_video_yuv420) — RGB never exists on the host
+        from dino_video_summarization_transformer_tpu.data.yuv import pack_rgb
+
+        rgb = np.random.RandomState(0).randint(
+            0, 256, (T, 224, 224, 3), dtype=np.uint8)
+        frames = pack_rgb(rgb)
+    elif args.wire == "u8":
         frames = np.random.RandomState(0).randint(
             0, 256, (T, 224, 224, 3), dtype=np.uint8)
     else:

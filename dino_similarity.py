@@ -58,6 +58,20 @@ def get_args_parser():
                    help=">1 = fast mode: sample every k-th frame of the "
                         "teacher window (k=4 -> native T=8, ~3x faster; "
                         "scores differ from the reference)")
+    p.add_argument("--teacher_stride", default=1, type=int,
+                   help=">1 = turbo mode: teacher forward every k-th frame, "
+                        "CLS features linearly interpolated between "
+                        "(validated: error below the bf16 noise floor at "
+                        "k=4, see BENCH.md)")
+    p.add_argument("--score_stride", default=1, type=int,
+                   help=">1 = score every m-th frame only, interpolate the "
+                        "loss curve between (fastest; selection quality "
+                        "documented in BENCH.md — opt-in)")
+    p.add_argument("--wire_format", default="rgb8",
+                   choices=["rgb8", "yuv420"],
+                   help="host->device frame transport: yuv420 ships the "
+                        "codec's own planar 4:2:0 (half the bytes) and "
+                        "color-converts on device")
     return p
 
 
@@ -90,16 +104,21 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
 
     dataset = DinoLossDataset(
         cfg=config, mode="test", local_clip_size=local_clip_size,
-        global_clip_size=global_clip_size, sampling_rate=sampling_rate)
+        global_clip_size=global_clip_size, sampling_rate=sampling_rate,
+        wire_format=cli.wire_format)
 
     compute_dtype = jnp.bfloat16 if cli.precision == "bfloat16" else jnp.float32
     scorer = FrameScorer(
         params, mcfg, local_size=local_clip_size, global_size=global_clip_size,
         chunk=cli.batch_size_per_gpu, compute_dtype=compute_dtype,
         precision="highest" if cli.precision == "float32" else None,
-        global_subsample=cli.global_subsample)
-    if cli.global_subsample > 1 and cli.precision == "float32":
-        print("NOTE: --global_subsample changes scores; f32 parity does not apply")
+        global_subsample=cli.global_subsample,
+        teacher_stride=cli.teacher_stride, score_stride=cli.score_stride)
+    approx = cli.global_subsample > 1 or cli.teacher_stride > 1 \
+        or cli.score_stride > 1 or cli.wire_format != "rgb8"
+    if approx and cli.precision == "float32":
+        print("NOTE: approximation/wire flags change scores; "
+              "f32 bit-parity does not apply")
 
     run_scoring(dataset, scorer, file_path, num_workers=cli.num_workers,
                 shard_id=cli.shard_id, num_shards=cli.num_shards)

@@ -21,6 +21,7 @@ import numpy as np
 
 from . import selection as sel
 from . import video as vio
+from . import yuv
 from .transform import (
     VideoDataAugmentationDINO,
     get_start_end_idx,
@@ -73,7 +74,8 @@ class DinoLossDataset:
 
     def __init__(self, cfg, mode: str, local_clip_size: int,
                  global_clip_size: int, sampling_rate: int,
-                 device_preprocess: bool = False):
+                 device_preprocess: bool = False,
+                 wire_format: str = "rgb8"):
         self.cfg = cfg
         self.mode = mode
         self.local_clip_size = local_clip_size
@@ -83,6 +85,12 @@ class DinoLossDataset:
         # device_preprocess: return center-cropped uint8 (4x fewer PCIe
         # bytes); the scoring engine fuses /255 + mean/std on device
         self.device_preprocess = device_preprocess
+        # wire_format "yuv420": decode straight to packed I420 (the codec's
+        # own planar 4:2:0 — HALF the bytes of RGB) and let the scoring
+        # kernels color-convert on device (data/yuv.py). Implies
+        # device-side preprocessing.
+        assert wire_format in ("rgb8", "yuv420"), wire_format
+        self.wire_format = wire_format
         num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS
         csv = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{mode}.csv")
         self._path_to_videos, self._labels = read_csv_entries(
@@ -99,15 +107,23 @@ class DinoLossDataset:
             "local_size": self.local_clip_size,
             "dummy": False,
         }
+        packed = self.wire_format == "yuv420"
         try:
             # decode with the pre-sampling stride applied in the decoder
             # (the reference decodes everything then slices [::rate],
             # ref: dino_loss_loader.py:81-85)
-            frames_u8, _fps = vio.read_video(path, stride=self.sampling_rate)
+            if packed:
+                frames_u8, _fps = vio.read_video_yuv420(
+                    path, stride=self.sampling_rate)
+            else:
+                frames_u8, _fps = vio.read_video(path, stride=self.sampling_rate)
         except vio.DecodeError:
-            frames_u8 = np.zeros((0, 0, 0, 3), np.uint8)
+            frames_u8 = np.zeros(
+                (0, 0, 0) if packed else (0, 0, 0, 3), np.uint8)
 
-        if frames_u8.shape[0] == 0 or frames_u8.shape[1] < self.crop_size \
+        fh = yuv.frame_height(frames_u8.shape[1]) if packed \
+            else frames_u8.shape[1]
+        if frames_u8.shape[0] == 0 or fh < self.crop_size \
                 or frames_u8.shape[2] < self.crop_size:
             # size-mismatch protocol: constant-loss dummy views
             out["dummy"] = True
@@ -117,7 +133,18 @@ class DinoLossDataset:
             out["num_frames"] = self.global_clip_size  # 30 constant entries
             return out
 
-        if self.device_preprocess:
+        if packed:
+            # center crop the packed I420 buffer directly (same
+            # ceil-centered offsets as uniform_crop, rounded down to even
+            # for chroma alignment); normalization AND color conversion
+            # happen on device
+            import math as _math
+
+            y0 = int(_math.ceil((fh - self.crop_size) / 2))
+            x0 = int(_math.ceil((frames_u8.shape[2] - self.crop_size) / 2))
+            frames = yuv.crop(frames_u8, y0, x0,
+                              self.crop_size, self.crop_size)
+        elif self.device_preprocess:
             # center crop on uint8 without normalizing (engine normalizes)
             tchw = np.moveaxis(frames_u8, -1, 1)
             tchw, _ = uniform_crop(tchw, self.crop_size, spatial_idx=1)

@@ -64,6 +64,7 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.dvst_decode_strided_yuv.argtypes = lib.dvst_decode_strided.argtypes
     lib.dvst_decode_range.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int64,
@@ -152,6 +153,40 @@ def read_video(
     if rc != 0:
         raise DecodeError(lib.dvst_last_error().decode())
     return _take(out, t.value, h.value, w.value, lib), fps.value
+
+
+def read_video_yuv420(
+    path: str,
+    stride: int = 1,
+    start: int = 0,
+    max_frames: int = -1,
+) -> Tuple[np.ndarray, float]:
+    """Decode frames [start::stride][:max_frames] as packed I420
+    (T, H*3//2, W) uint8 — the codec's own subsampled planar layout, half
+    the bytes of RGB24. Color conversion is deferred to the accelerator
+    (data/yuv.py unpack_normalize, fused into the scoring kernels); the
+    host never materializes RGB. H/W are rounded down to even."""
+    lib = _load_lib()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    t = ctypes.c_int64()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    fps = ctypes.c_double()
+    rc = lib.dvst_decode_strided_yuv(
+        path.encode(), start, stride, max_frames,
+        ctypes.byref(out), ctypes.byref(t), ctypes.byref(h), ctypes.byref(w),
+        ctypes.byref(fps),
+    )
+    if rc != 0:
+        raise DecodeError(lib.dvst_last_error().decode())
+    t_, h_, w_ = t.value, h.value, w.value
+    n = t_ * (h_ * 3 // 2) * w_
+    if n == 0:
+        lib.dvst_free(out)
+        return np.zeros((0, h_ * 3 // 2, w_), np.uint8), fps.value
+    arr = np.ctypeslib.as_array(out, shape=(t_, h_ * 3 // 2, w_)).copy()
+    lib.dvst_free(out)
+    return arr, fps.value
 
 
 def read_video_range(path: str, start: int, end: int,

@@ -1,0 +1,160 @@
+"""Planar YUV 4:2:0 wire format for host->device frame transport.
+
+Video codecs store frames as subsampled planar YUV (4:2:0 = 1.5 bytes/px);
+the reference pipeline converts to RGB24 (3 bytes/px) on the host CPU at
+decode time (ref: datasets_custom/decoder.py:65-106 via pyav's to_rgb, and
+our native/decoder.cc RGB path) and ships RGB to the accelerator. On TPU the
+host->device wire is the scoring pipeline's binding constraint for long
+videos, and the YUV->RGB conversion is a per-pixel affine map — exactly the
+kind of elementwise math XLA fuses into the adjacent gather/normalize kernel
+for free. So the TPU-native wire keeps the codec's own 4:2:0 layout end to
+end: the native decoder emits packed I420, the host never touches the pixel
+data, and the device unpacks + color-converts + normalizes inside the
+compiled scoring kernel. Wire bytes drop 2x with no extra host work.
+
+Layout ("packed I420"): a (T, H*3//2, W) uint8 array per clip —
+  rows [0, H)             Y plane (full resolution)
+  rows [H, H + H//4)      U plane, (H//2, W//2) laid out row-major
+  rows [H + H//4, H*3//2) V plane, likewise
+H and W must be even (4:2:0 chroma siting).
+
+Color math: BT.601 limited range ("studio swing"), the swscale default for
+unflagged SD content and what our mpeg4 test encoder produces. Chroma is
+upsampled nearest-neighbor (one 2x2 block per chroma sample); the numeric
+delta vs swscale's bilinear chroma filter is quantified in
+tests/test_yuv_wire.py and sits below the bf16 quantization noise the
+production scoring mode already carries (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# BT.601 luma weights.
+_KR, _KG, _KB = 0.299, 0.587, 0.114
+# Limited-range excursions: Y spans 219 steps from 16, chroma 224 from 128.
+_YSCALE = 219.0 / 255.0
+_CSCALE = 224.0 / 255.0
+# Inverse-matrix coefficients (see module docstring for the derivation).
+_Y_GAIN = 255.0 / 219.0                      # 1.1643836
+_R_V = (255.0 / 224.0) * 2.0 * (1.0 - _KR)   # 1.5960267
+_B_U = (255.0 / 224.0) * 2.0 * (1.0 - _KB)   # 2.0172321
+_G_U = _B_U * _KB / _KG                      # 0.3917623
+_G_V = _R_V * _KR / _KG                      # 0.8129676
+
+
+def packed_height(h: int) -> int:
+    """Rows of the packed I420 image for a frame height ``h`` (even)."""
+    return h + h // 2
+
+
+def frame_height(packed_rows: int) -> int:
+    """Frame height from packed I420 row count."""
+    return (packed_rows * 2) // 3
+
+
+def pack_rgb(frames: np.ndarray) -> np.ndarray:
+    """RGB (T, H, W, 3) uint8 -> packed I420 (T, H*3//2, W) uint8.
+
+    Host-side fallback for sources that are already RGB (synthetic bench
+    corpora, .npy fixtures); real videos come out of the native decoder
+    already packed (data/video.py read_video_yuv420). Chroma is box-averaged
+    over each 2x2 block before subsampling.
+    """
+    frames = np.asarray(frames)
+    assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
+    T, H, W, _ = frames.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    f = frames.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y_full = _KR * r + _KG * g + _KB * b
+    y = 16.0 + _YSCALE * y_full
+    u = 128.0 + _CSCALE * 0.5 / (1.0 - _KB) * (b - y_full)
+    v = 128.0 + _CSCALE * 0.5 / (1.0 - _KR) * (r - y_full)
+    # 2x2 box average then subsample (4:2:0 chroma siting)
+    u = u.reshape(T, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    v = v.reshape(T, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    out = np.empty((T, packed_height(H), W), np.uint8)
+    out[:, :H] = np.clip(np.rint(y), 16, 235)
+    out[:, H:H + H // 4] = np.clip(np.rint(u), 16, 240).reshape(T, H // 4, W)
+    out[:, H + H // 4:] = np.clip(np.rint(v), 16, 240).reshape(T, H // 4, W)
+    return out
+
+
+def _planes(packed: np.ndarray):
+    rows, W = packed.shape[-2:]
+    H = frame_height(rows)
+    lead = packed.shape[:-2]
+    y = packed[..., :H, :]
+    u = packed[..., H:H + H // 4, :].reshape(*lead, H // 2, W // 2)
+    v = packed[..., H + H // 4:, :].reshape(*lead, H // 2, W // 2)
+    return y, u, v, H, W
+
+
+def unpack_to_rgb(packed: np.ndarray) -> np.ndarray:
+    """Packed I420 (..., H*3//2, W) uint8 -> RGB (..., H, W, 3) uint8.
+
+    Host mirror of the device math in ``unpack_normalize`` (nearest-neighbor
+    chroma upsample + BT.601 limited-range inverse), used by tests and by
+    CPU-side consumers of YUV-decoded frames.
+    """
+    y, u, v, H, W = _planes(np.asarray(packed))
+    c = (y.astype(np.float32) - 16.0) * _Y_GAIN
+    d = np.repeat(np.repeat(u, 2, axis=-2), 2, axis=-1).astype(np.float32) - 128.0
+    e = np.repeat(np.repeat(v, 2, axis=-2), 2, axis=-1).astype(np.float32) - 128.0
+    rgb = np.stack([c + _R_V * e,
+                    c - _G_U * d - _G_V * e,
+                    c + _B_U * d], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def crop(packed: np.ndarray, y0: int, x0: int, ch: int, cw: int) -> np.ndarray:
+    """Spatial crop of a packed I420 buffer.
+
+    Offsets are rounded DOWN to even so the chroma grid stays aligned (a
+    half-chroma-pixel shift vs an exact-odd RGB crop — visually and
+    numerically negligible, quantified in tests/test_yuv_wire.py).
+    ``ch``/``cw`` must be even.
+    """
+    assert ch % 2 == 0 and cw % 2 == 0, (ch, cw)
+    y0 &= ~1
+    x0 &= ~1
+    y, u, v, H, W = _planes(np.asarray(packed))
+    lead = packed.shape[:-2]
+    yc = y[..., y0:y0 + ch, x0:x0 + cw]
+    uc = u[..., y0 // 2:(y0 + ch) // 2, x0 // 2:(x0 + cw) // 2]
+    vc = v[..., y0 // 2:(y0 + ch) // 2, x0 // 2:(x0 + cw) // 2]
+    out = np.concatenate([
+        yc,
+        uc.reshape(*lead, ch // 4, cw),
+        vc.reshape(*lead, ch // 4, cw),
+    ], axis=-2)
+    return np.ascontiguousarray(out)
+
+
+def unpack_normalize(packed, mean, std, dtype):
+    """Device-side unpack: (..., H*3//2, W) uint8 -> normalized
+    (..., H, W, 3) in ``dtype``.
+
+    Traceable jnp math — meant to be called INSIDE a jitted kernel right
+    after the window gather so XLA fuses upsample + color matrix + normalize
+    into the gather's consumer (the same slot the RGB wire's /255+mean/std
+    occupies in engine/scoring.py _gather_views).
+    """
+    import jax.numpy as jnp
+
+    rows, W = packed.shape[-2:]
+    H = frame_height(rows)
+    lead = packed.shape[:-2]
+    y = packed[..., :H, :]
+    u = packed[..., H:H + H // 4, :].reshape(*lead, H // 2, W // 2)
+    v = packed[..., H + H // 4:, :].reshape(*lead, H // 2, W // 2)
+    c = (y.astype(jnp.float32) - 16.0) * _Y_GAIN
+    d = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1).astype(jnp.float32) - 128.0
+    e = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1).astype(jnp.float32) - 128.0
+    rgb = jnp.stack([c + _R_V * e,
+                     c - _G_U * d - _G_V * e,
+                     c + _B_U * d], axis=-1)
+    rgb = jnp.clip(rgb, 0.0, 255.0) / 255.0
+    out = (rgb - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return out.astype(dtype)

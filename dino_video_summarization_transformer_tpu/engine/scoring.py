@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data import yuv
 from ..models import timesformer as tsf
 from ..train.dino import scoring_dino_loss
 
@@ -74,11 +75,12 @@ class _PieceBuffer:
     def fire_until(self, i: int) -> None:
         """Asynchronously upload pieces [fired, i)."""
         P = self.piece
+        nd = self.frames.ndim - 1
         while self._fired < min(i, self.n_pieces):
             j = self._fired
             sl = self.frames[j * P:(j + 1) * P]
             if sl.shape[0] < P:
-                sl = np.pad(sl, ((0, P - sl.shape[0]),) + ((0, 0),) * 3)
+                sl = np.pad(sl, ((0, P - sl.shape[0]),) + ((0, 0),) * nd)
             self._pieces[j] = jax.device_put(sl)
             self._fired += 1
 
@@ -93,7 +95,8 @@ class _PieceBuffer:
             P = self.piece
             sl = self.frames[i * P:(i + 1) * P]
             if sl.shape[0] < P:
-                sl = np.pad(sl, ((0, P - sl.shape[0]),) + ((0, 0),) * 3)
+                sl = np.pad(sl, ((0, P - sl.shape[0]),) +
+                            ((0, 0),) * (self.frames.ndim - 1))
             self._pieces[i] = jax.device_put(sl)
         return self._pieces[i]
 
@@ -195,13 +198,19 @@ class FrameScorer:
 
     def _gather_views(self, frames, idx, n_view):
         """Gather (chunk, n_view, H, W, C) windows from the piece span and
-        normalize: uint8 wire data is converted to normalized compute dtype
-        here, INSIDE the chunk kernel — doing it per uploaded piece would
-        enqueue a computation per piece and serialize the compute stream
-        behind every transfer (in-order launch semantics)."""
+        normalize: wire data is converted to normalized compute dtype here,
+        INSIDE the chunk kernel — doing it per uploaded piece would enqueue
+        a computation per piece and serialize the compute stream behind
+        every transfer (in-order launch semantics).
+
+        Wire layouts: (N, H, W, 3) RGB (uint8 or pre-normalized float), or
+        packed I420 (N, H*3//2, W) uint8 — the codec's planar 4:2:0 at half
+        the wire bytes, color-converted here on device (data/yuv.py)."""
         v = jnp.take(frames, idx.reshape(-1), axis=0)
         v = v.reshape(self.chunk, n_view, *frames.shape[1:])
-        if v.dtype == jnp.uint8:
+        if v.ndim == 4:  # packed I420: upsample chroma + color matrix + norm
+            v = yuv.unpack_normalize(v, self.mean, self.std, self.compute_dtype)
+        elif v.dtype == jnp.uint8:
             vf = v.astype(jnp.float32) / 255.0
             v = ((vf - self.mean) / self.std)
         v = v.astype(self.compute_dtype)

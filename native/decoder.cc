@@ -33,7 +33,7 @@ extern "C" {
 namespace {
 
 struct DecodeResult {
-  std::vector<uint8_t> rgb;  // T*H*W*3
+  std::vector<uint8_t> rgb;  // T*H*W*3 (RGB24) or T*H*3/2*W (packed I420)
   int64_t t = 0;
   int h = 0;
   int w = 0;
@@ -55,9 +55,15 @@ void set_error(const std::string& msg) { g_error = msg; }
 // prefix. After a seek the display index of each frame is recovered from
 // its best-effort PTS; streams without usable PTS fall back to a plain
 // from-the-start decode (count-based indexing stays exact).
+// When `yuv` is true the output buffer keeps the codec's own planar 4:2:0
+// layout — packed I420, (T, H*3/2, W) with even H/W — instead of converting
+// to RGB24 on the host. Color conversion then happens on the accelerator,
+// fused into the compute kernels (see data/yuv.py), and the host->device
+// wire carries half the bytes. swscale still runs once per kept frame to
+// normalize pix_fmt/dimensions (a plane copy for the common yuv420p case).
 template <typename WantFn>
 int decode_loop(const char* path, WantFn want, int64_t stop_after,
-                DecodeResult* out, int64_t seek_to = -1) {
+                DecodeResult* out, int64_t seek_to = -1, bool yuv = false) {
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
     set_error(std::string("cannot open ") + path);
@@ -92,8 +98,12 @@ int decode_loop(const char* path, WantFn want, int64_t stop_after,
     return -1;
   }
 
-  out->w = cc->width;
-  out->h = cc->height;
+  // 4:2:0 needs even dimensions; odd sources lose their last row/column
+  // (matching swscale's own handling of odd-sized chroma targets)
+  const int he = cc->height & ~1;
+  const int we = cc->width & ~1;
+  out->w = yuv ? we : cc->width;
+  out->h = yuv ? he : cc->height;
   AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
   out->fps = fr.den ? av_q2d(fr) : 0.0;
   out->total_frames = st->nb_frames;
@@ -118,7 +128,9 @@ int decode_loop(const char* path, WantFn want, int64_t stop_after,
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int64_t idx = 0;
-  const size_t frame_bytes = static_cast<size_t>(cc->width) * cc->height * 3;
+  const size_t frame_bytes =
+      yuv ? static_cast<size_t>(we) * he * 3 / 2
+          : static_cast<size_t>(cc->width) * cc->height * 3;
   int ret = 0;
   bool done = false;
   // sws_scale's SIMD paths can write past unaligned row ends, so it
@@ -140,23 +152,37 @@ int decode_loop(const char* path, WantFn want, int64_t stop_after,
       idx = static_cast<int64_t>(llround(pts * tb * idx_fps));
     }
     if (want(idx)) {
+      const AVPixelFormat dst_fmt = yuv ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_RGB24;
+      const int dw = yuv ? we : cc->width;
+      const int dh = yuv ? he : cc->height;
       if (!sws) {
         sws = sws_getContext(cc->width, cc->height,
-                             static_cast<AVPixelFormat>(f->format), cc->width,
-                             cc->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
-                             nullptr, nullptr, nullptr);
-        av_image_alloc(scratch_data, scratch_linesize, cc->width, cc->height,
-                       AV_PIX_FMT_RGB24, 32);
+                             static_cast<AVPixelFormat>(f->format), dw, dh,
+                             dst_fmt, SWS_BILINEAR, nullptr, nullptr, nullptr);
+        av_image_alloc(scratch_data, scratch_linesize, dw, dh, dst_fmt, 32);
       }
       sws_scale(sws, f->data, f->linesize, 0, cc->height, scratch_data,
                 scratch_linesize);
       size_t off = out->rgb.size();
       out->rgb.resize(off + frame_bytes);
-      const int row = cc->width * 3;
-      for (int y = 0; y < cc->height; ++y) {
-        std::memcpy(out->rgb.data() + off + static_cast<size_t>(y) * row,
-                    scratch_data[0] + static_cast<size_t>(y) * scratch_linesize[0],
-                    row);
+      uint8_t* dst = out->rgb.data() + off;
+      if (yuv) {
+        // pack I420 planes contiguously: Y (dh x dw), U then V (dh/2 x dw/2)
+        for (int y = 0; y < dh; ++y, dst += dw)
+          std::memcpy(dst, scratch_data[0] +
+                               static_cast<size_t>(y) * scratch_linesize[0], dw);
+        for (int p = 1; p <= 2; ++p)
+          for (int y = 0; y < dh / 2; ++y, dst += dw / 2)
+            std::memcpy(dst, scratch_data[p] +
+                                 static_cast<size_t>(y) * scratch_linesize[p],
+                        dw / 2);
+      } else {
+        const int row = dw * 3;
+        for (int y = 0; y < dh; ++y)
+          std::memcpy(dst + static_cast<size_t>(y) * row,
+                      scratch_data[0] +
+                          static_cast<size_t>(y) * scratch_linesize[0],
+                      row);
       }
       out->t += 1;
     }
@@ -255,6 +281,31 @@ int dvst_decode_strided(const char* path, int64_t start, int64_t stride,
     return true;
   };
   if (decode_loop(path, want, -1, &r) != 0) return -1;
+  *out = move_to_heap(r);
+  *T = r.t;
+  *H = r.h;
+  *W = r.w;
+  *fps = r.fps;
+  return 0;
+}
+
+// Like dvst_decode_strided, but emits packed planar I420 — (T, H*3/2, W)
+// uint8, even H/W — leaving YUV->RGB for the accelerator (data/yuv.py).
+// H/W report the FRAME dimensions; the buffer holds H*3/2 rows per frame.
+int dvst_decode_strided_yuv(const char* path, int64_t start, int64_t stride,
+                            int64_t max_frames, uint8_t** out, int64_t* T,
+                            int* H, int* W, double* fps) {
+  if (stride <= 0) stride = 1;
+  DecodeResult r;
+  int64_t kept = 0;
+  auto want = [&](int64_t i) {
+    if (i < start || (i - start) % stride != 0) return false;
+    if (max_frames > 0 && kept >= max_frames) return false;
+    kept += 1;
+    return true;
+  };
+  if (decode_loop(path, want, -1, &r, /*seek_to=*/-1, /*yuv=*/true) != 0)
+    return -1;
   *out = move_to_heap(r);
   *T = r.t;
   *H = r.h;

@@ -1,0 +1,184 @@
+"""YUV 4:2:0 wire-format tests: pack/unpack math, native decoder output,
+dataset plumbing, and score equivalence vs the RGB wire.
+
+The yuv420 wire ships the codec's own subsampled planar layout (1.5 B/px vs
+RGB24's 3) and color-converts on device inside the scoring kernels
+(data/yuv.py). The reference always converts to RGB on the host
+(ref: datasets_custom/decoder.py:65-106); these tests bound the numeric
+delta of deferring that conversion.
+"""
+
+import numpy as np
+import pytest
+
+from dino_video_summarization_transformer_tpu.data import video as vio
+from dino_video_summarization_transformer_tpu.data import yuv
+from dino_video_summarization_transformer_tpu.data.windows import (
+    window_indices)
+
+
+def _smooth_rgb(T=6, H=64, W=96, seed=0):
+    """Natural-ish frames: smoothed noise (chroma varies slowly, like video)."""
+    r = np.random.RandomState(seed)
+    f = r.rand(T, H, W, 3).astype(np.float32)
+    for _ in range(4):
+        f = 0.25 * (np.roll(f, 1, 1) + np.roll(f, -1, 1)
+                    + np.roll(f, 1, 2) + np.roll(f, -1, 2))
+    lo, hi = f.min(), f.max()
+    return (255 * (f - lo) / (hi - lo)).astype(np.uint8)
+
+
+def test_pack_unpack_roundtrip_chroma_constant():
+    # frames whose chroma is constant over each 2x2 block: subsampling is
+    # lossless, so the roundtrip should be exact up to integer rounding
+    r = np.random.RandomState(0)
+    base = r.rand(3, 24, 32, 3)
+    frames = np.clip(np.kron(base, np.ones((1, 2, 2, 1))) * 255,
+                     0, 255).astype(np.uint8)
+    back = yuv.unpack_to_rgb(yuv.pack_rgb(frames))
+    err = np.abs(back.astype(int) - frames.astype(int))
+    assert err.max() <= 3, err.max()
+
+
+def test_pack_unpack_roundtrip_videolike():
+    # video-like content: luma texture + slowly varying color tint. (Real
+    # codec output has no per-pixel chroma by construction — 4:2:0 — so
+    # independent-RGB-noise fixtures overstate subsampling loss; the
+    # decoder-path test below bounds the real-pipeline delta.)
+    r = np.random.RandomState(1)
+    T, H, W = 4, 64, 96
+    luma = r.rand(T, H, W, 1).astype(np.float32)
+    for _ in range(2):
+        luma = 0.25 * (np.roll(luma, 1, 1) + np.roll(luma, -1, 1)
+                       + np.roll(luma, 1, 2) + np.roll(luma, -1, 2))
+    tint = np.kron(r.rand(T, H // 16, W // 16, 3).astype(np.float32),
+                   np.ones((1, 16, 16, 1)))
+    frames = np.clip(255 * (0.25 + 0.5 * luma) * (0.6 + 0.4 * tint),
+                     0, 255).astype(np.uint8)
+    back = yuv.unpack_to_rgb(yuv.pack_rgb(frames))
+    err = np.abs(back.astype(np.float32) - frames.astype(np.float32))
+    assert err.mean() < 3.0, err.mean()
+    assert np.percentile(err, 99) < 16, np.percentile(err, 99)
+
+
+def test_device_unpack_matches_host_mirror():
+    import jax.numpy as jnp
+
+    packed = yuv.pack_rgb(_smooth_rgb(T=2))
+    mean, std = [0.45] * 3, [0.225] * 3
+    dev = np.asarray(yuv.unpack_normalize(jnp.asarray(packed), mean, std,
+                                          jnp.float32))
+    host = ((yuv.unpack_to_rgb(packed).astype(np.float32) / 255.0)
+            - 0.45) / 0.225
+    # host mirror rounds to uint8; device keeps continuous values
+    assert np.abs(dev - host).max() < (1.0 / 255.0) / 0.225 + 1e-5
+
+
+def test_crop_matches_rgb_crop():
+    packed = yuv.pack_rgb(_smooth_rgb())
+    c = yuv.crop(packed, 7, 13, 32, 48)  # odd offsets round down to even
+    assert c.shape[-2:] == (48, 48)
+    np.testing.assert_array_equal(
+        yuv.unpack_to_rgb(c), yuv.unpack_to_rgb(packed)[:, 6:38, 12:60])
+
+
+def test_native_decoder_yuv_matches_rgb_path(tmp_path):
+    # both paths decode the same codec YUV; they differ only in where the
+    # color conversion runs (swscale-on-host vs our matrix on device)
+    frames = _smooth_rgb(T=8, H=64, W=96, seed=3)
+    path = str(tmp_path / "v.avi")
+    vio.write_video(path, frames, fps=30.0)
+
+    rgb, fps_a = vio.read_video(path)
+    packed, fps_b = vio.read_video_yuv420(path)
+    assert fps_a == fps_b
+    assert packed.shape == (rgb.shape[0], rgb.shape[1] * 3 // 2, rgb.shape[2])
+    ours = yuv.unpack_to_rgb(packed).astype(np.float32)
+    err = np.abs(ours - rgb.astype(np.float32))
+    # chroma upsample filter (bilinear vs nearest) + integer rounding
+    assert err.mean() < 2.5, err.mean()
+    assert np.percentile(err, 99) < 12, np.percentile(err, 99)
+
+
+def test_decoder_yuv_strided(tmp_path):
+    frames = _smooth_rgb(T=12, H=32, W=32, seed=5)
+    path = str(tmp_path / "v.avi")
+    vio.write_video(path, frames, fps=30.0)
+    full, _ = vio.read_video_yuv420(path)
+    strided, _ = vio.read_video_yuv420(path, stride=3)
+    np.testing.assert_array_equal(strided, full[::3])
+
+
+@pytest.fixture(scope="module")
+def tiny_scorer():
+    import jax
+
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        FrameScorer)
+    from dino_video_summarization_transformer_tpu.models import (
+        init_timesformer, vit_tiny_config)
+
+    cfg = vit_tiny_config(num_frames=8, num_classes=0, img_size=32)
+    params = init_timesformer(jax.random.key(0), cfg)
+    return FrameScorer(params, cfg, chunk=8, precision=None,
+                       compute_dtype=np.float32)
+
+
+def test_scores_match_rgb_wire(tiny_scorer):
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_video)
+
+    T = 64
+    vid_f32 = make_video(1, T, 32)  # float in [0,1], smooth + events
+    raw = np.clip(vid_f32 * 255, 0, 255).astype(np.uint8)
+    # the wires are compared on the SAME underlying 4:2:0 content (what a
+    # codec emits): rgb wire gets the host-converted frames, yuv wire the
+    # packed planes — mirroring read_video vs read_video_yuv420 on one file
+    packed = yuv.pack_rgb(raw)
+    vid_u8 = yuv.unpack_to_rgb(packed)
+    loc, glob, eff = window_indices(T, 3, 30)
+
+    rgb_scores = tiny_scorer.score_video(vid_u8, loc, glob, eff)
+    yuv_scores = tiny_scorer.score_video(packed, loc, glob, eff)
+
+    rel = np.abs(yuv_scores - rgb_scores) / (np.abs(rgb_scores).mean() + 1e-9)
+    assert rel.max() < 0.05, rel.max()
+    ra = np.argsort(np.argsort(rgb_scores)).astype(float)
+    rb = np.argsort(np.argsort(yuv_scores)).astype(float)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    spearman = (ra * rb).sum() / np.sqrt((ra * ra).sum() * (rb * rb).sum())
+    assert spearman > 0.99, spearman
+
+
+def test_dataset_yuv_wire(tmp_path):
+    """DinoLossDataset(wire_format='yuv420') returns packed frames whose
+    unpack matches the rgb dataset's crop geometry."""
+    from dino_video_summarization_transformer_tpu.config.defaults import (
+        get_cfg)
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        DinoLossDataset)
+
+    frames = _smooth_rgb(T=40, H=240, W=320, seed=7)
+    vdir = tmp_path / "vids"
+    vdir.mkdir()
+    vio.write_video(str(vdir / "a.avi"), frames, fps=30.0)
+    (tmp_path / "test.csv").write_text("a.avi 0\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(vdir)
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+
+    ds_rgb = DinoLossDataset(cfg, "test", 3, 30, 1, device_preprocess=True)
+    ds_yuv = DinoLossDataset(cfg, "test", 3, 30, 1, wire_format="yuv420")
+    a = ds_rgb[0]
+    b = ds_yuv[0]
+    assert not a["dummy"] and not b["dummy"]
+    assert b["frames"].shape == (a["frames"].shape[0], 336, 224)
+    np.testing.assert_array_equal(a["local_idx"], b["local_idx"])
+    rgb_from_yuv = yuv.unpack_to_rgb(b["frames"]).astype(np.float32)
+    err = np.abs(rgb_from_yuv - a["frames"].astype(np.float32))
+    # same decode, same (even-aligned) crop window, different color path;
+    # the rgb crop offset may sit one luma row/col off the even-aligned one
+    assert err.mean() < 6.0, err.mean()
