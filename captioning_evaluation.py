@@ -71,18 +71,19 @@ def main(selection_method="adaptive", video_tag=None, args=None):
     references = [truth_dict[k] for k in test_set]
 
     bleu = corpus_bleu(predictions, references)
-    meteor = meteor_score_safe(predictions, references)
+    meteor, meteor_method = meteor_score_safe(predictions, references)
     bert = bertscore_safe(predictions, references, args.bert_model)
     cider, _ = cider_score(
         {k: truth_dict[k] for k in test_set},
         {k: captions_dict[k] for k in test_set})
 
     print("BLEU", bleu)
-    print("METEOR", meteor if meteor is not None else "(nltk wordnet unavailable)")
+    print("METEOR", f"{meteor} [{meteor_method}]" if meteor is not None
+          else "(unavailable)")
     print("BERT", bert if bert is not None else "(no local BERT model)")
     print("CIDEr", cider)
-    return {"bleu": bleu["bleu"], "meteor": meteor, "bert": bert,
-            "cider": cider}
+    return {"bleu": bleu["bleu"], "meteor": meteor,
+            "meteor_method": meteor_method, "bert": bert, "cider": cider}
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@ from .datasets import (
     ClipDataset,
     DinoLossDataset,
     FrameSelectionDataset,
+    Ssv2Dataset,
     build_dataset,
     read_csv_entries,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "ClipDataset",
     "DinoLossDataset",
     "FrameSelectionDataset",
+    "Ssv2Dataset",
     "build_dataset",
     "read_csv_entries",
     "PrefetchLoader",

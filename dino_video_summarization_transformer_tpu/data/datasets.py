@@ -527,6 +527,187 @@ def _sobel_np(images: np.ndarray, eps: float = 1e-6) -> np.ndarray:
     return np.sqrt(gx * gx + gy * gy + eps)
 
 
+def load_image_lists(frame_list_file: str, prefix: str = "",
+                     return_list: bool = False):
+    """Frame-list CSV parser (ref: datasets_custom/data_utils.py:263-305):
+    header then `original_vido_id video_id frame_id path labels` rows."""
+    from collections import defaultdict
+
+    image_paths = defaultdict(list)
+    labels = defaultdict(list)
+    with open(frame_list_file, "r") as f:
+        assert f.readline().startswith("original_vido_id")
+        for line in f:
+            row = line.split()
+            if not row:
+                continue
+            assert len(row) == 5, row
+            video_name = row[0]
+            path = row[3] if prefix == "" else os.path.join(prefix, row[3])
+            image_paths[video_name].append(path)
+            frame_labels = row[-1].replace('"', "")
+            labels[video_name].append(
+                [int(x) for x in frame_labels.split(",")] if frame_labels
+                else [])
+    if return_list:
+        keys = image_paths.keys()
+        return ([image_paths[k] for k in keys], [labels[k] for k in keys])
+    return dict(image_paths), dict(labels)
+
+
+def retry_load_images(image_paths: List[str], retry: int = 10,
+                      rng=None) -> np.ndarray:
+    """Load a list of frame images with retries
+    (ref: datasets_custom/data_utils.py:19-47). Returns (T, H, W, C) uint8
+    in BGR channel order — the reference reads with cv2.imread and never
+    converts, so BGR is the (quirky) contract its SSv2 models trained on."""
+    import time
+
+    from PIL import Image
+
+    for i in range(retry):
+        try:
+            imgs = [np.asarray(Image.open(p).convert("RGB"))[..., ::-1]
+                    for p in image_paths]
+            return np.stack(imgs)
+        except Exception:
+            if i == retry - 1:
+                raise
+            time.sleep(1.0)
+
+
+class Ssv2Dataset:
+    """Something-Something v2 frame-list loader
+    (ref: datasets_custom/ssv2.py:21-278).
+
+    The reference ships this as dead code — it imports the nonexistent
+    `timesformer.utils.logging` (ref: ssv2.py:12) and is commented out of
+    its package (ref: datasets_custom/__init__.py:8) — rebuilt here as a
+    working loader with the same label/frame-list format and sampling math.
+
+    Train/val: one clip, frames drawn per temporal segment (train: uniform
+    in the segment, val/test: segment midpoint). Test: NUM_ENSEMBLE_VIEWS x
+    NUM_SPATIAL_CROPS deterministic grid. Returns (frames CTHW float32,
+    label, index, {}).
+    """
+
+    def __init__(self, cfg, mode: str, num_retries: int = 10,
+                 seed: Optional[int] = None):
+        assert mode in ("train", "val", "test"), mode
+        self.cfg = cfg
+        self.mode = mode
+        self._num_retries = num_retries
+        self.rng = np.random.RandomState(seed)
+        if mode in ("train", "val"):
+            self._num_clips = 1
+        else:
+            self._num_clips = (cfg.TEST.NUM_ENSEMBLE_VIEWS
+                               * cfg.TEST.NUM_SPATIAL_CROPS)
+
+        data_dir = cfg.DATA.PATH_TO_DATA_DIR
+        with open(os.path.join(
+                data_dir, "something-something-v2-labels.json")) as f:
+            label_dict = json.load(f)
+        split = "train" if mode == "train" else "validation"
+        with open(os.path.join(
+                data_dir, f"something-something-v2-{split}.json")) as f:
+            label_json = json.load(f)
+
+        video_names, labels = [], []
+        for video in label_json:
+            template = video["template"].replace("[", "").replace("]", "")
+            video_names.append(video["id"])
+            labels.append(int(label_dict[template]))
+
+        csv = os.path.join(
+            data_dir, "{}.csv".format("train" if mode == "train" else "val"))
+        path_dict, _ = load_image_lists(csv, cfg.DATA.PATH_PREFIX)
+
+        # dict -> aligned lists, dropping videos without frame rows
+        # (ref: ssv2.py:125-133)
+        paths, new_labels = [], []
+        for name, label in zip(video_names, labels):
+            if name in path_dict:
+                paths.append(path_dict[name])
+                new_labels.append(label)
+
+        self._path_to_videos = [p for p in paths for _ in range(self._num_clips)]
+        self._labels = [l for l in new_labels for _ in range(self._num_clips)]
+        self._spatial_temporal_idx = [
+            i % self._num_clips for i in range(len(self._path_to_videos))]
+        print(f"Constructing ssv2 dataloader "
+              f"(size: {len(self._path_to_videos)}) from {csv}")
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    @property
+    def labels(self):
+        return list(self._labels)
+
+    def seq_indices(self, video_length: int) -> List[int]:
+        """Per-segment frame sampling (ref: ssv2.py:225-236): segment i
+        spans [round(seg*i), round(seg*(i+1))]; train draws uniformly in the
+        segment (inclusive), val/test takes the midpoint."""
+        num_frames = self.cfg.DATA.NUM_FRAMES
+        seg_size = float(video_length - 1) / num_frames
+        seq = []
+        for i in range(num_frames):
+            start = int(np.round(seg_size * i))
+            end = int(np.round(seg_size * (i + 1)))
+            if self.mode == "train":
+                seq.append(int(self.rng.randint(start, end + 1)))
+            else:
+                seq.append((start + end) // 2)
+        return seq
+
+    def __getitem__(self, index):
+        cfg = self.cfg
+        short_cycle_idx = None
+        if isinstance(index, tuple):  # ShortCycleBatcher protocol
+            index, short_cycle_idx = index
+
+        if self.mode in ("train", "val"):
+            spatial_sample_index = -1
+            min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
+            crop_size = cfg.DATA.TRAIN_CROP_SIZE
+            if short_cycle_idx in (0, 1):
+                crop_size = int(round(
+                    cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                    * cfg.MULTIGRID.DEFAULT_S))
+            if cfg.MULTIGRID.DEFAULT_S > 0:
+                min_scale = int(round(
+                    float(min_scale) * crop_size / cfg.MULTIGRID.DEFAULT_S))
+        else:
+            spatial_sample_index = (
+                self._spatial_temporal_idx[index] % cfg.TEST.NUM_SPATIAL_CROPS)
+            if cfg.TEST.NUM_SPATIAL_CROPS == 1:
+                spatial_sample_index = 1
+            min_scale = max_scale = crop_size = cfg.DATA.TEST_CROP_SIZE
+
+        label = self._labels[index]
+        frame_paths = self._path_to_videos[index]
+        seq = self.seq_indices(len(frame_paths))
+        frames = retry_load_images(
+            [frame_paths[i] for i in seq], self._num_retries)
+
+        frames = tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = np.moveaxis(frames, -1, 1)  # T H W C -> T C H W
+        frames = spatial_sampling(
+            frames, self.rng, spatial_idx=spatial_sample_index,
+            min_scale=min_scale, max_scale=max_scale, crop_size=crop_size,
+            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE)
+        # ViT path: temporal re-sample to NUM_FRAMES (ref: ssv2.py:263-271);
+        # the reference's SlowFast pack_pathway branch is dead here (ARCH
+        # is always 'vit' in this pipeline)
+        frames = np.ascontiguousarray(np.moveaxis(frames, 0, 1))  # C T H W
+        idx = np.linspace(0, frames.shape[1] - 1, cfg.DATA.NUM_FRAMES,
+                          dtype=np.float32).astype(np.int64)
+        frames = frames[:, idx]
+        return frames, label, index, {}
+
+
 # dataset registry (ref: datasets_custom/build.py:5-30)
 DATASET_REGISTRY = {}
 
@@ -546,6 +727,8 @@ def build_dataset(name: str, cfg, split: str, **kw):
     # their differences are CSV naming conventions handled by csv_name
     if key in ("kinetics", "kinetics400"):
         return ClipDataset(cfg, split, **kw)
+    if key == "ssv2":
+        return Ssv2Dataset(cfg, split, **kw)
     if key == "ucf101":
         return ClipDataset(cfg, split, csv_name=f"ucf101_{split}_split_1_videos.txt", **kw)
     if key == "hmdb51":

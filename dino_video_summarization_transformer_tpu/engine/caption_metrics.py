@@ -128,9 +128,72 @@ def cider_score(references: Dict[str, List[str]],
     return float(np.mean(scores)), np.asarray(scores)
 
 
+def _match_stage(enum_hyp: list, enum_ref: list, key) -> list:
+    """One METEOR alignment stage (the nltk _match_enums greedy rule):
+    scan hypothesis tokens right-to-left, take the rightmost reference
+    token with the same ``key``, remove both. Returns (hyp_idx, ref_idx)
+    pairs; mutates the enum lists in place."""
+    matches = []
+    for i in range(len(enum_hyp))[::-1]:
+        ki = key(enum_hyp[i][1])
+        for j in range(len(enum_ref))[::-1]:
+            if ki == key(enum_ref[j][1]):
+                matches.append((enum_hyp[i][0], enum_ref[j][0]))
+                enum_hyp.pop(i)
+                enum_ref.pop(j)
+                break
+    return matches
+
+
+def _count_chunks(matches: list) -> int:
+    chunks = 1
+    for i in range(len(matches) - 1):
+        if (matches[i + 1][0] == matches[i][0] + 1
+                and matches[i + 1][1] == matches[i][1] + 1):
+            continue
+        chunks += 1
+    return chunks
+
+
+def meteor_single(hypothesis: List[str], reference: List[str], stem=None,
+                  alpha: float = 0.9, beta: float = 3.0,
+                  gamma: float = 0.5) -> float:
+    """METEOR sentence score (Banerjee & Lavie), exact + stem stages —
+    the nltk ``single_meteor_score`` algorithm minus the wordnet-synonym
+    stage (this offline image has no wordnet corpus; exact/stem matching
+    needs no data files). ``stem`` is a token->stem callable or None."""
+    enum_hyp = list(enumerate(w.lower() for w in hypothesis))
+    enum_ref = list(enumerate(w.lower() for w in reference))
+    t_len, r_len = len(enum_hyp), len(enum_ref)
+    matches = _match_stage(enum_hyp, enum_ref, lambda w: w)
+    if stem is not None:
+        matches += _match_stage(enum_hyp, enum_ref, stem)
+    matches.sort(key=lambda pair: pair[0])
+    m = len(matches)
+    if m == 0 or t_len == 0 or r_len == 0:
+        return 0.0
+    precision = m / t_len
+    recall = m / r_len
+    fmean = precision * recall / (alpha * precision + (1 - alpha) * recall)
+    frag = _count_chunks(matches) / m
+    return (1.0 - gamma * frag ** beta) * fmean
+
+
+def _porter_stemmer():
+    try:
+        from nltk.stem.porter import PorterStemmer  # pure code, no data
+
+        return PorterStemmer().stem
+    except Exception:
+        return None
+
+
 def meteor_score_safe(predictions: List[str], references: List[List[str]]):
-    """METEOR via nltk (what HF evaluate wraps); returns None when the
-    wordnet corpus isn't available in this offline image."""
+    """Mean METEOR over the corpus (ref: captioning_evaluation.py:101-103
+    calls HF evaluate's "meteor", which wraps nltk). When the wordnet
+    corpus is available the full nltk scorer runs; otherwise the native
+    exact+stem scorer above (same algorithm, no synonym stage — scores are
+    a strict lower bound of full METEOR). Returns (score, method)."""
     try:
         import nltk
         from nltk.translate.meteor_score import meteor_score
@@ -138,17 +201,24 @@ def meteor_score_safe(predictions: List[str], references: List[List[str]]):
         try:
             nltk.data.find("corpora/wordnet.zip")
         except LookupError:
-            try:
-                nltk.data.find("corpora/wordnet")
-            except LookupError:
-                return None
+            nltk.data.find("corpora/wordnet")
         scores = [
             meteor_score([r.split() for r in refs], pred.split())
             for pred, refs in zip(predictions, references)
         ]
-        return sum(scores) / max(len(scores), 1)
+        return sum(scores) / max(len(scores), 1), "nltk+wordnet"
     except Exception:
-        return None
+        pass
+    stem = _porter_stemmer()
+    scores = [
+        max(meteor_single(pred.split(), r.split(), stem=stem) for r in refs)
+        if refs else 0.0
+        for pred, refs in zip(predictions, references)
+    ]
+    if not scores:
+        return None, "unavailable"
+    method = "native exact+stem" if stem else "native exact"
+    return sum(scores) / len(scores), method
 
 
 def bertscore_safe(predictions: List[str], references: List[List[str]],

@@ -30,6 +30,56 @@ def test_bleu_against_nltk():
     assert got == pytest.approx(expected, abs=1e-9)
 
 
+def test_meteor_against_nltk():
+    """The native exact+stem METEOR must equal nltk's scorer when nltk's
+    wordnet-synonym stage is neutralized (an empty-synset wordnet stub —
+    its stage then adds nothing after exact+stem, since exact matching ran
+    to fixpoint first)."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.stem.porter import PorterStemmer
+    from nltk.translate.meteor_score import single_meteor_score
+
+    from dino_video_summarization_transformer_tpu.engine.caption_metrics import (
+        meteor_single)
+
+    class _EmptyWordnet:
+        @staticmethod
+        def synsets(word):
+            return []
+
+    pairs = [
+        ("a man is playing a guitar on stage",
+         "a man plays a guitar on a stage"),
+        ("two dogs running through the park",
+         "dogs are running in a park"),
+        ("someone slices a tomato in a kitchen",
+         "a person sliced tomatoes in the kitchen"),
+        ("completely unrelated words here", "a cat sat on the mat"),
+        ("identical sentence", "identical sentence"),
+    ]
+    stem = PorterStemmer().stem
+    for pred, ref in pairs:
+        expected = single_meteor_score(
+            ref.split(), pred.split(), wordnet=_EmptyWordnet())
+        got = meteor_single(pred.split(), ref.split(), stem=stem)
+        assert got == pytest.approx(expected, abs=1e-12), (pred, ref)
+
+
+def test_meteor_score_safe_native_fallback():
+    """Without the wordnet corpus the safe wrapper reports the native
+    method, max-over-references semantics, mean over the corpus."""
+    from dino_video_summarization_transformer_tpu.engine.caption_metrics import (
+        meteor_score_safe)
+
+    score, method = meteor_score_safe(
+        ["a dog runs in the park"],
+        [["a dog runs in the park", "something else entirely"]])
+    assert method.startswith(("nltk", "native"))
+    # perfect 6-token match vs best ref: fmean 1, chunks 1 ->
+    # 1 - 0.5*(1/6)^3 = 0.9976852
+    assert score == pytest.approx(1.0 - 0.5 / 216.0, abs=1e-9)
+
+
 def test_cider_ranking():
     refs = {
         "v1": ["a dog runs in the park", "a dog is running outside"],
