@@ -174,13 +174,19 @@ class FrameScorer:
         self.mean = jnp.asarray([0.45, 0.45, 0.45], jnp.float32)
         self.std = jnp.asarray([0.225, 0.225, 0.225], jnp.float32)
         self._prep = None
-        # fused Pallas attention is available but measured ~10% SLOWER than
-        # the XLA path on a quiet chip once the bf16-softmax optimization
-        # landed (hd=64 lane padding eats the fusion win) — opt-in only.
-        if use_pallas is True:
-            from ..ops.attention import use_pallas_attention
+        # Fused block-phase Pallas kernels (ops/fused_block.py): LN+QKV+
+        # attention+proj and LN+MLP each collapse to one VMEM-resident
+        # kernel — measured 918->544 ms on the chunk-32 teacher forward
+        # (the phases are HBM-bound in XLA; see BENCH.md). The dispatch is
+        # dtype-aware (bf16 only), so exact-f32 scorers keep the XLA path.
+        # "auto" enables it on real TPUs; True forces it (interpret mode
+        # off-TPU, for tests); False leaves XLA.
+        if use_pallas is True or (
+                use_pallas == "auto" and jax.default_backend() == "tpu"
+                and compute_dtype == jnp.bfloat16):
+            from ..ops.fused_block import use_fused_block
 
-            use_pallas_attention(True)
+            use_fused_block(True)
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:

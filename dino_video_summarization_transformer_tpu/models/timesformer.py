@@ -250,6 +250,19 @@ def _drop_path(rng, x, rate):
 # Block
 # ---------------------------------------------------------------------------
 
+def attn_phase(p_norm, p_attn, x, num_heads):
+    """LN -> MHSA over (S, L, D) sequences: the fusable inner phase of both
+    the temporal and spatial halves of a divided block. Swappable with a
+    fused Pallas kernel via ops.fused_block (weights resident in VMEM,
+    activations cross HBM once)."""
+    return mhsa(p_attn, layer_norm(p_norm, x), num_heads)
+
+
+def mlp_phase(p_norm, p_mlp, x):
+    """LN -> MLP, the residual branch of the block's feed-forward half."""
+    return mlp(p_mlp, layer_norm(p_norm, x))
+
+
 def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
     """Divided space-time attention block (ref: models/timesformer.py:116-185).
 
@@ -267,7 +280,7 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
 
     # --- temporal attention over T per spatial location -------------------
     xt = x[:, 1:, :].reshape(B * N, T, D)
-    res_t = mhsa(p["temporal_attn"], layer_norm(p["temporal_norm1"], xt), num_heads)
+    res_t = attn_phase(p["temporal_norm1"], p["temporal_attn"], xt, num_heads)
     res_t = dp(rngs[0], res_t.reshape(B, N * T, D))
     res_t = linear(p["temporal_fc"], res_t)
     xt = x[:, 1:, :] + res_t  # (B, N*T, D)
@@ -278,7 +291,7 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
     # 'b (h w t) m -> (b t) (h w) m'
     xs = xt.reshape(B, N, T, D).transpose(0, 2, 1, 3).reshape(B * T, N, D)
     xs = jnp.concatenate([cls_rep, xs], axis=1)  # (B*T, 1+N, D)
-    res_s = mhsa(p["attn"], layer_norm(p["norm1"], xs), num_heads)
+    res_s = attn_phase(p["norm1"], p["attn"], xs, num_heads)
     res_s = dp(rngs[1], res_s)
 
     # cls averaged over frames (ref: models/timesformer.py:161-164)
@@ -291,7 +304,7 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
     x = jnp.concatenate([init_cls, xt], axis=1) + jnp.concatenate(
         [cls_out, res_sp], axis=1
     )
-    x = x + dp(rngs[2], mlp(p["mlp"], layer_norm(p["norm2"], x)))
+    x = x + dp(rngs[2], mlp_phase(p["norm2"], p["mlp"], x))
     return x
 
 

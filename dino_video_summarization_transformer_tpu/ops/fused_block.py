@@ -1,0 +1,234 @@
+"""Fused transformer-block phase kernels (Pallas/TPU).
+
+Measured on the bench chip (tools/attn_bench*.py, tools/ablate_forward.py),
+the divided space-time block is HBM-bound: effective bandwidth is
+~240 GB/s, and the XLA phase pipeline (LN write, qkv write, q/k/v
+transposes, score tensor round trips, proj) moves ~2.5 GB per block per
+phase at teacher shapes. These kernels compute a whole phase —
+
+    attn phase:  LN -> qkv matmul -> per-head softmax(QK^T)V -> proj
+    mlp phase:   LN -> fc1 -> gelu -> fc2
+
+— in VMEM, so activations cross HBM exactly twice (read x, write out) and
+weights are fetched once per grid sweep (constant index_map -> resident).
+
+Softmax is max-free: scores are clamped to +/-80 and exponentiated in
+f32 (softmax is shift-invariant; the clamp only bites where the output is
+already saturated), and the denominator is produced BY THE MXU via ones
+columns appended to V — no cross-lane reduction, the slow direction on
+the VPU (see ops/attention.py for the standalone-kernel variant of the
+same trick).
+
+These kernels are inference-path only (no VJP); the training step keeps
+the XLA phases. On non-TPU backends they run in Pallas interpreter mode,
+which makes the CPU test suite exercise the same code path numerically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CLAMP = 80.0
+_LN_EPS = 1e-6
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused attention phase: out = proj(mhsa(layer_norm(x)))
+# ---------------------------------------------------------------------------
+
+def _attn_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                       bproj_ref, o_ref, *, num_heads: int):
+    BB, L, D = x_ref.shape
+    H = num_heads
+    hd = D // H
+    scale = hd ** -0.5
+
+    # LayerNorm in f32 (parity with the XLA path)
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
+
+    qkv = jax.lax.dot_general(
+        y.reshape(BB * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BB, L, 3 * D)
+
+    ones = jnp.ones((BB, L, 128 - hd), jnp.bfloat16)
+    head_outs = []
+    for h in range(H):  # 12 unrolled iterations, batched over BB sequences
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (BB, L, L)
+        p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        v_aug = jnp.concatenate([v, ones], axis=2)  # (BB, L, 128)
+        acc = jax.lax.dot_general(
+            p, v_aug, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        head_outs.append(
+            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+    a = jnp.concatenate(head_outs, axis=2).reshape(BB * L, D)
+
+    proj = jax.lax.dot_general(
+        a, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    proj = proj + bproj_ref[0]
+    o_ref[:] = proj.reshape(BB, L, D).astype(o_ref.dtype)
+
+
+def fused_attn_phase(p_norm, p_attn, x: jnp.ndarray, num_heads: int,
+                     block_s: int = 0) -> jnp.ndarray:
+    """Pallas twin of models.timesformer.attn_phase: x (S, L, D) ->
+    proj(mhsa(LN(x))), one HBM pass each way."""
+    S, L, D = x.shape
+    if not block_s:
+        # ~BB*L tokens per program: target ~512 rows for the qkv matmul
+        block_s = max(1, min(S, 512 // L))
+    while S % block_s:
+        block_s -= 1
+
+    g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
+    b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
+    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    bqkv = p_attn["qkv"].get("bias")
+    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * D)
+    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+    bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
+
+    x_spec = pl.BlockSpec((block_s, L, D), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_phase_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((S, L, D), x.dtype),
+        grid=(S // block_s,),
+        in_specs=[x_spec, full(1, D), full(1, D), full(D, 3 * D),
+                  full(1, 3 * D), full(D, D), full(1, D)],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=S * L * (8 * D * D + 4 * L * D),
+            bytes_accessed=2 * S * L * D * x.dtype.itemsize,
+            transcendentals=S * L * L,
+        ),
+        interpret=_interpret(),
+    )(x, g, b, wqkv, bqkv, wproj, bproj)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP phase: out = fc2(gelu(fc1(layer_norm(x))))
+# ---------------------------------------------------------------------------
+
+def _mlp_phase_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      o_ref):
+    M, D = x_ref.shape
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
+
+    h = jax.lax.dot_general(
+        y, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + b1_ref[0]
+    # tanh-GELU: Mosaic lowers neither erf nor erfc; the tanh form deviates
+    # from the exact erf GELU by <~1e-3 absolute — below bf16 resolution at
+    # activation scale (this kernel serves the bf16 inference path only)
+    c = 0.7978845608028654  # sqrt(2/pi)
+    h = (0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h * h * h))))
+    h = h.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        h, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (out + b2_ref[0]).astype(o_ref.dtype)
+
+
+def fused_mlp_phase(p_norm, p_mlp, x: jnp.ndarray,
+                    block_m: int = 512) -> jnp.ndarray:
+    """Pallas twin of models.timesformer.mlp_phase over flattened tokens.
+
+    x (..., D): internally reshaped to (M, D) and tiled by ``block_m``
+    token rows (the grid handles a ragged tail by block clamping)."""
+    shape = x.shape
+    D = shape[-1]
+    Dh = p_mlp["fc1"]["kernel"].shape[1]
+    xm = x.reshape(-1, D)
+    M = xm.shape[0]
+
+    g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
+    b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
+    w1 = p_mlp["fc1"]["kernel"].astype(jnp.bfloat16)
+    b1 = p_mlp["fc1"]["bias"].astype(jnp.float32).reshape(1, Dh)
+    w2 = p_mlp["fc2"]["kernel"].astype(jnp.bfloat16)
+    b2 = p_mlp["fc2"]["bias"].astype(jnp.float32).reshape(1, D)
+
+    x_spec = pl.BlockSpec((block_m, D), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _mlp_phase_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        grid=(pl.cdiv(M, block_m),),
+        in_specs=[x_spec, full(1, D), full(1, D), full(D, Dh),
+                  full(1, Dh), full(Dh, D), full(1, D)],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * D * Dh,
+            bytes_accessed=2 * M * D * x.dtype.itemsize,
+            transcendentals=M * Dh,
+        ),
+        interpret=_interpret(),
+    )(xm, g, b, w1, b1, w2, b2)
+    return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def use_fused_block(enable: bool = True) -> None:
+    """Swap the TimeSformer's block phases for the fused Pallas kernels.
+
+    The installed dispatch is dtype-aware: only bfloat16 activations take
+    the fused path (the kernels compute in bf16), so float32 bit-parity
+    forwards in the same process are untouched. Inference/scoring only —
+    the fused phases define no VJP; gradient tracing falls back to XLA."""
+    from ..models import timesformer as tsf
+
+    if enable:
+        if not hasattr(tsf, "_attn_phase_xla"):
+            tsf._attn_phase_xla = tsf.attn_phase
+            tsf._mlp_phase_xla = tsf.mlp_phase
+
+        def attn_dispatch(pn, pa, x, nh):
+            if x.dtype == jnp.bfloat16:
+                return fused_attn_phase(pn, pa, x, nh)
+            return tsf._attn_phase_xla(pn, pa, x, nh)
+
+        def mlp_dispatch(pn, pm, x):
+            if x.dtype == jnp.bfloat16:
+                return fused_mlp_phase(pn, pm, x)
+            return tsf._mlp_phase_xla(pn, pm, x)
+
+        tsf.attn_phase = attn_dispatch
+        tsf.mlp_phase = mlp_dispatch
+    else:
+        if hasattr(tsf, "_attn_phase_xla"):
+            tsf.attn_phase = tsf._attn_phase_xla
+            tsf.mlp_phase = tsf._mlp_phase_xla
