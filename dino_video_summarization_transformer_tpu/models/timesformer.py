@@ -263,6 +263,20 @@ def mlp_phase(p_norm, p_mlp, x):
     return mlp(p_mlp, layer_norm(p_norm, x))
 
 
+def temporal_phase(p_norm, p_attn, p_fc, x, num_heads):
+    """x + temporal_fc(MHSA(LN(x))) over (S, T, D) sequences — the divided
+    block's complete temporal half (inference path, no drop-path).
+    Position-wise identical to the unfused sequence of ops; swappable with
+    one fused Pallas kernel."""
+    return x + linear(p_fc, mhsa(p_attn, layer_norm(p_norm, x), num_heads))
+
+
+def mlp_phase_res(p_norm, p_mlp, x):
+    """x + MLP(LN(x)) — the feed-forward half with its residual
+    (inference path, no drop-path)."""
+    return x + mlp(p_mlp, layer_norm(p_norm, x))
+
+
 def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
     """Divided space-time attention block (ref: models/timesformer.py:116-185).
 
@@ -277,13 +291,22 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
         return _drop_path(r, y, drop_path_rate)
 
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    no_dp = rng is None or drop_path_rate == 0.0
 
     # --- temporal attention over T per spatial location -------------------
     xt = x[:, 1:, :].reshape(B * N, T, D)
-    res_t = attn_phase(p["temporal_norm1"], p["temporal_attn"], xt, num_heads)
-    res_t = dp(rngs[0], res_t.reshape(B, N * T, D))
-    res_t = linear(p["temporal_fc"], res_t)
-    xt = x[:, 1:, :] + res_t  # (B, N*T, D)
+    if no_dp:
+        # inference: whole temporal half as one fusable phase (bitwise
+        # equal to the branch below — linear/add are position-wise)
+        xt = temporal_phase(p["temporal_norm1"], p["temporal_attn"],
+                            p["temporal_fc"], xt, num_heads)
+        xt = xt.reshape(B, N * T, D)
+    else:
+        res_t = attn_phase(p["temporal_norm1"], p["temporal_attn"], xt,
+                           num_heads)
+        res_t = dp(rngs[0], res_t.reshape(B, N * T, D))
+        res_t = linear(p["temporal_fc"], res_t)
+        xt = x[:, 1:, :] + res_t  # (B, N*T, D)
 
     # --- spatial attention over (CLS + H*W) per frame ----------------------
     init_cls = x[:, :1, :]  # (B,1,D)
@@ -304,7 +327,10 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
     x = jnp.concatenate([init_cls, xt], axis=1) + jnp.concatenate(
         [cls_out, res_sp], axis=1
     )
-    x = x + dp(rngs[2], mlp_phase(p["norm2"], p["mlp"], x))
+    if no_dp:
+        x = mlp_phase_res(p["norm2"], p["mlp"], x)
+    else:
+        x = x + dp(rngs[2], mlp_phase(p["norm2"], p["mlp"], x))
     return x
 
 

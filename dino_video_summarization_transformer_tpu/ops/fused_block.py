@@ -95,8 +95,11 @@ def fused_attn_phase(p_norm, p_attn, x: jnp.ndarray, num_heads: int,
     proj(mhsa(LN(x))), one HBM pass each way."""
     S, L, D = x.shape
     if not block_s:
-        # ~BB*L tokens per program: target ~512 rows for the qkv matmul
-        block_s = max(1, min(S, 512 // L))
+        # ~512 PADDED rows per program: Mosaic tiles the (L, D) minor dims,
+        # so L pads up to the 16-sublane bf16 tile — budgeting on raw L
+        # blows VMEM 5x for tiny L (student temporal L=3)
+        l_pad = -(-L // 16) * 16
+        block_s = max(1, min(S, 512 // l_pad))
     while S % block_s:
         block_s -= 1
 
@@ -130,11 +133,106 @@ def fused_attn_phase(p_norm, p_attn, x: jnp.ndarray, num_heads: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused temporal phase: out = x + fc(proj(mhsa(layer_norm(x))))
+# ---------------------------------------------------------------------------
+
+def _temporal_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                           wproj_ref, bproj_ref, wfc_ref, bfc_ref, o_ref, *,
+                           num_heads: int):
+    BB, L, D = x_ref.shape
+    H = num_heads
+    hd = D // H
+    scale = hd ** -0.5
+
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
+
+    qkv = jax.lax.dot_general(
+        y.reshape(BB * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BB, L, 3 * D)
+
+    ones = jnp.ones((BB, L, 128 - hd), jnp.bfloat16)
+    head_outs = []
+    for h in range(H):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        v_aug = jnp.concatenate([v, ones], axis=2)
+        acc = jax.lax.dot_general(
+            p, v_aug, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        head_outs.append(
+            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+    a = jnp.concatenate(head_outs, axis=2).reshape(BB * L, D)
+
+    proj = jax.lax.dot_general(
+        a, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    proj = (proj + bproj_ref[0]).astype(jnp.bfloat16)
+    fc = jax.lax.dot_general(
+        proj, wfc_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    fc = (fc + bfc_ref[0]).reshape(BB, L, D)
+    o_ref[:] = (x_ref[:] + fc.astype(x_ref.dtype)).astype(o_ref.dtype)
+
+
+def fused_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray,
+                         num_heads: int, block_s: int = 0) -> jnp.ndarray:
+    """Pallas twin of models.timesformer.temporal_phase: the whole temporal
+    half (LN, qkv, attention, proj, temporal_fc, residual) in one kernel."""
+    S, L, D = x.shape
+    if not block_s:
+        l_pad = -(-L // 16) * 16  # see fused_attn_phase chooser
+        block_s = max(1, min(S, 512 // l_pad))
+    while S % block_s:
+        block_s -= 1
+
+    g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
+    b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
+    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    bqkv = p_attn["qkv"].get("bias")
+    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * D)
+    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+    bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
+    wfc = p_fc["kernel"].astype(jnp.bfloat16)
+    bfc = p_fc["bias"].astype(jnp.float32).reshape(1, D)
+
+    x_spec = pl.BlockSpec((block_s, L, D), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_temporal_phase_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((S, L, D), x.dtype),
+        grid=(S // block_s,),
+        in_specs=[x_spec, full(1, D), full(1, D), full(D, 3 * D),
+                  full(1, 3 * D), full(D, D), full(1, D), full(D, D),
+                  full(1, D)],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=S * L * (10 * D * D + 4 * L * D),
+            bytes_accessed=2 * S * L * D * x.dtype.itemsize,
+            transcendentals=S * L * L,
+        ),
+        interpret=_interpret(),
+    )(x, g, b, wqkv, bqkv, wproj, bproj, wfc, bfc)
+
+
+# ---------------------------------------------------------------------------
 # Fused MLP phase: out = fc2(gelu(fc1(layer_norm(x))))
 # ---------------------------------------------------------------------------
 
 def _mlp_phase_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                      o_ref):
+                      o_ref, *, residual: bool):
     M, D = x_ref.shape
     x = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -155,12 +253,17 @@ def _mlp_phase_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out = jax.lax.dot_general(
         h, w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[:] = (out + b2_ref[0]).astype(o_ref.dtype)
+    out = (out + b2_ref[0]).astype(o_ref.dtype)
+    if residual:
+        out = x_ref[:] + out
+    o_ref[:] = out
 
 
 def fused_mlp_phase(p_norm, p_mlp, x: jnp.ndarray,
-                    block_m: int = 512) -> jnp.ndarray:
-    """Pallas twin of models.timesformer.mlp_phase over flattened tokens.
+                    block_m: int = 512, residual: bool = False) -> jnp.ndarray:
+    """Pallas twin of models.timesformer.mlp_phase over flattened tokens
+    (``residual=True`` gives the mlp_phase_res twin: x + MLP(LN(x)), the
+    residual add riding the same VMEM residency).
 
     x (..., D): internally reshaped to (M, D) and tiled by ``block_m``
     token rows (the grid handles a ragged tail by block clamping)."""
@@ -182,7 +285,7 @@ def fused_mlp_phase(p_norm, p_mlp, x: jnp.ndarray,
     full = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _mlp_phase_kernel,
+        functools.partial(_mlp_phase_kernel, residual=residual),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid=(pl.cdiv(M, block_m),),
         in_specs=[x_spec, full(1, D), full(1, D), full(D, Dh),
@@ -215,6 +318,8 @@ def use_fused_block(enable: bool = True) -> None:
         if not hasattr(tsf, "_attn_phase_xla"):
             tsf._attn_phase_xla = tsf.attn_phase
             tsf._mlp_phase_xla = tsf.mlp_phase
+            tsf._mlp_phase_res_xla = tsf.mlp_phase_res
+            tsf._temporal_phase_xla = tsf.temporal_phase
 
         def attn_dispatch(pn, pa, x, nh):
             if x.dtype == jnp.bfloat16:
@@ -226,9 +331,23 @@ def use_fused_block(enable: bool = True) -> None:
                 return fused_mlp_phase(pn, pm, x)
             return tsf._mlp_phase_xla(pn, pm, x)
 
+        def mlp_res_dispatch(pn, pm, x):
+            if x.dtype == jnp.bfloat16:
+                return fused_mlp_phase(pn, pm, x, residual=True)
+            return tsf._mlp_phase_res_xla(pn, pm, x)
+
+        def temporal_dispatch(pn, pa, pfc, x, nh):
+            if x.dtype == jnp.bfloat16:
+                return fused_temporal_phase(pn, pa, pfc, x, nh)
+            return tsf._temporal_phase_xla(pn, pa, pfc, x, nh)
+
         tsf.attn_phase = attn_dispatch
         tsf.mlp_phase = mlp_dispatch
+        tsf.mlp_phase_res = mlp_res_dispatch
+        tsf.temporal_phase = temporal_dispatch
     else:
         if hasattr(tsf, "_attn_phase_xla"):
             tsf.attn_phase = tsf._attn_phase_xla
             tsf.mlp_phase = tsf._mlp_phase_xla
+            tsf.mlp_phase_res = tsf._mlp_phase_res_xla
+            tsf.temporal_phase = tsf._temporal_phase_xla

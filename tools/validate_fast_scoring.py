@@ -154,13 +154,23 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
               f"relerr {np.mean(re):.4f}, sel-agree {np.mean(ag):.3f} "
               f"(tol1 {np.mean(ag1):.3f})", flush=True)
 
-    # quantization noise floor: the accepted production numerics
+    # quantization noise floor: the accepted production numerics (on TPU
+    # this row takes the fused Pallas path via use_pallas="auto", so it
+    # also covers the fused kernels' max-free softmax / tanh-GELU deltas)
     measure("bf16-exact (noise floor)",
             FrameScorer(params, cfg, chunk=chunk,
                         compute_dtype=jnp.bfloat16, precision=None))
     for name, kw in MODE_GRID.items():
         measure(name, FrameScorer(params, cfg, chunk=chunk,
                                   compute_dtype=np.float32, precision=None,
+                                  **kw))
+    # composite PRODUCTION rows: approximation x bf16 x fused kernels,
+    # exactly what bench.py ships — the stride error must not compound
+    # with the quantization floor
+    for name, kw in (("turbo-prod (bf16,k4)", dict(teacher_stride=4)),
+                     ("k8-prod (bf16)", dict(teacher_stride=8))):
+        measure(name, FrameScorer(params, cfg, chunk=chunk,
+                                  compute_dtype=jnp.bfloat16, precision=None,
                                   **kw))
     return report
 
