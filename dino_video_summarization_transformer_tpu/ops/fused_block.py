@@ -41,6 +41,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fusable(x) -> bool:
+    """Mosaic can only shape-cast (BB, L, D) <-> (BB*L, D) when D is a
+    multiple of the 128-lane tile (vit_tiny's D=192 fails with
+    'unsupported shape cast'); narrower models keep the XLA phases."""
+    return x.shape[-1] % 128 == 0
+
+
 # ---------------------------------------------------------------------------
 # Fused attention phase: out = proj(mhsa(layer_norm(x)))
 # ---------------------------------------------------------------------------
@@ -322,22 +329,22 @@ def use_fused_block(enable: bool = True) -> None:
             tsf._temporal_phase_xla = tsf.temporal_phase
 
         def attn_dispatch(pn, pa, x, nh):
-            if x.dtype == jnp.bfloat16:
+            if x.dtype == jnp.bfloat16 and _fusable(x):
                 return fused_attn_phase(pn, pa, x, nh)
             return tsf._attn_phase_xla(pn, pa, x, nh)
 
         def mlp_dispatch(pn, pm, x):
-            if x.dtype == jnp.bfloat16:
+            if x.dtype == jnp.bfloat16 and _fusable(x):
                 return fused_mlp_phase(pn, pm, x)
             return tsf._mlp_phase_xla(pn, pm, x)
 
         def mlp_res_dispatch(pn, pm, x):
-            if x.dtype == jnp.bfloat16:
+            if x.dtype == jnp.bfloat16 and _fusable(x):
                 return fused_mlp_phase(pn, pm, x, residual=True)
             return tsf._mlp_phase_res_xla(pn, pm, x)
 
         def temporal_dispatch(pn, pa, pfc, x, nh):
-            if x.dtype == jnp.bfloat16:
+            if x.dtype == jnp.bfloat16 and _fusable(x):
                 return fused_temporal_phase(pn, pa, pfc, x, nh)
             return tsf._temporal_phase_xla(pn, pa, pfc, x, nh)
 

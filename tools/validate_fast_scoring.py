@@ -236,16 +236,25 @@ def main():
             grids[f"{arch}@{img}"] = run_model_validation(
                 arch, args.videos, args.frames, img, args.chunk)
         report["model_grids"] = grids
-        # worst-case aggregation over live validators
+        # worst-case aggregation over LIVE validators only: a validator
+        # whose random-init teacher saturates to a constant one-hot
+        # (distinct_argmax < 2) produces near-constant losses whose
+        # relative errors measure numerical noise, not approximation
+        # quality (see teacher_saturation) — it is excluded and recorded
+        live = {k: g for k, g in grids.items()
+                if g["saturation"]["distinct_argmax"] >= 2}
+        report["excluded_saturated"] = sorted(set(grids) - set(live))
+        if not live:
+            live = grids  # never aggregate over nothing
         worst = {}
-        for key in list(grids.values())[0]:
+        for key in list(live.values())[0]:
             if key == "saturation":
                 continue
             worst[key] = {
-                "spearman_min": min(g[key]["spearman_min"] for g in grids.values()),
-                "rel_err_max": max(g[key]["rel_err_max"] for g in grids.values()),
+                "spearman_min": min(g[key]["spearman_min"] for g in live.values()),
+                "rel_err_max": max(g[key]["rel_err_max"] for g in live.values()),
                 "selection_agree_exact_min": min(
-                    g[key]["selection_agree_exact"] for g in grids.values()),
+                    g[key]["selection_agree_exact"] for g in live.values()),
             }
         report["worst_case"] = worst
         report["config"] = {"validators": validators, "videos": args.videos,
