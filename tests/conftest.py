@@ -40,6 +40,27 @@ enable_compilation_cache()
 
 
 
+def cpu_subprocess_env(**extra):
+    """Env for CLI subprocesses that must run on the CPU backend.
+
+    JAX_PLATFORMS=cpu alone is NOT enough: the axon sitecustomize registers
+    the TPU PJRT plugin whenever PALLAS_AXON_POOL_IPS is set, and a CLI
+    subprocess then chats with the TPU tunnel — measured 5.5 min vs 52 s
+    for one tiny train_ssl run. Scrub the pool vars like __graft_entry__'s
+    dryrun bootstrap does.
+    """
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **extra)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    # drop this conftest's 8-virtual-device flag: CLI smoke tests exercise
+    # the single-device path (their tiny batches aren't divisible by 8);
+    # the multi-device mesh is covered by test_sharding / dryrun_multichip
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(flags)
+    return env
+
+
 def _stub_module(name):
     import importlib.machinery
     import types

@@ -237,7 +237,7 @@ def test_llava_captioning_cli_hf(tmp_path, tiny_videollava_dir):
               open(loss_file, "w"))
     out_csv = str(tmp_path / "captions.csv")
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = conftest.cpu_subprocess_env()
     proc = subprocess.run(
         [sys.executable, os.path.join(conftest.REPO_ROOT, "llava_captioning.py"),
          "--data_path", str(tmp_path), "--loss_file", loss_file,

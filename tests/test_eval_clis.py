@@ -33,7 +33,7 @@ def ucf_like(tmp_path_factory):
 
 
 def run_cli(script, extra, timeout=900):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = conftest.cpu_subprocess_env()
     cmd = [sys.executable, os.path.join(conftest.REPO_ROOT, script)] + extra
     return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
                           env=env, cwd=conftest.REPO_ROOT)

@@ -208,7 +208,7 @@ def test_cli_end_to_end(tmp_path):
 
     out_json = str(d / "loss.json")
     repo = conftest.REPO_ROOT
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = conftest.cpu_subprocess_env()
     cmd = [
         sys.executable, os.path.join(repo, "dino_similarity.py"),
         "--cfg", os.path.join(repo, "configs/kinetics/timesformer_divst_8x32_224.yaml"),

@@ -25,7 +25,7 @@ def test_train_ssl_cli_one_step(tmp_path):
     (d / "train.csv").write_text("a.avi 0\nb.avi 1\n")
 
     out_dir = str(d / "out")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = conftest.cpu_subprocess_env()
     cmd = [
         sys.executable, os.path.join(conftest.REPO_ROOT, "train_ssl.py"),
         "--arch", "vit_tiny",
@@ -119,7 +119,7 @@ def test_train_ssl_cli_two_token(tmp_path):
         pytest.skip("native decoder not built")
     _write_clip_corpus(tmp_path)
     out_dir = str(tmp_path / "out")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = conftest.cpu_subprocess_env()
     cmd = _base_cmd(
         tmp_path, out_dir, "--two_token", "true",
         "--opts", "DATA.NUM_FRAMES", "2", "DATA.SAMPLING_RATE", "4")
@@ -133,7 +133,7 @@ def test_train_ssl_cli_two_stream(tmp_path):
         pytest.skip("native decoder not built")
     _write_clip_corpus(tmp_path, with_flow=True)
     out_dir = str(tmp_path / "out")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = conftest.cpu_subprocess_env()
     cmd = _base_cmd(
         tmp_path, out_dir,
         "--opts", "DATA.NUM_FRAMES", "2", "DATA.SAMPLING_RATE", "4",
@@ -151,7 +151,7 @@ def test_train_ssl_cli_rand_fr(tmp_path):
         pytest.skip("native decoder not built")
     _write_clip_corpus(tmp_path)
     out_dir = str(tmp_path / "out")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = conftest.cpu_subprocess_env()
     cmd = _base_cmd(
         tmp_path, out_dir,
         "--opts", "DATA.NUM_FRAMES", "8", "DATA.SAMPLING_RATE", "4",
