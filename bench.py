@@ -32,6 +32,7 @@ frames/s/chip on v5e).
 
 import argparse
 import json
+import os
 import time
 
 
@@ -42,6 +43,79 @@ MODES = {
     "turbo": ("bf16", None, 1, 4, 1),
     "turbo-max": ("bf16", None, 1, 4, 4),
 }
+
+
+def _e2e_videos_per_min(scorer, n_videos: int = 6, raw_frames: int = 240,
+                        rate: int = 4, num_frames: int = 16):
+    """Full summarization pipeline on a synthetic corpus: encode N clips
+    with the native shim, then time [decode (packed I420) -> per-frame DINO
+    scoring -> loss JSON -> adaptive CDF selection of ``num_frames``]
+    end to end. Returns videos/min, or None if the native decoder is
+    unavailable."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from dino_video_summarization_transformer_tpu.config import get_cfg
+    from dino_video_summarization_transformer_tpu.data import video as vio
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        DinoLossDataset, FrameSelectionDataset)
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        run_scoring)
+
+    if not vio.native_available():
+        return None
+    import contextlib
+    import io
+
+    d = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            return _e2e_inner(scorer, d, n_videos, raw_frames, rate,
+                              num_frames)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _e2e_inner(scorer, d, n_videos, raw_frames, rate, num_frames):
+    import numpy as np
+
+    from dino_video_summarization_transformer_tpu.config import get_cfg
+    from dino_video_summarization_transformer_tpu.data import video as vio
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        DinoLossDataset, FrameSelectionDataset)
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        run_scoring)
+
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(n_videos):
+        name = f"clip{i}.avi"
+        vio.write_video(os.path.join(d, name),
+                        rng.randint(0, 256, (raw_frames, 256, 320, 3),
+                                    dtype=np.uint8), fps=30)
+        names.append(name)
+    with open(os.path.join(d, "test.csv"), "w") as f:
+        f.write("".join(f"{n} 0\n" for n in names))
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = d
+    cfg.DATA.PATH_PREFIX = d
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    ds = DinoLossDataset(cfg, "test", scorer.local_size,
+                         scorer.global_size, rate, wire_format="yuv420")
+    loss_file = os.path.join(d, "loss.json")
+
+    t0 = time.time()
+    run_scoring(ds, scorer, loss_file, num_workers=2, log_every=0)
+    cfg.LOSS_FILE = loss_file
+    sel = FrameSelectionDataset(cfg, rate, "adaptive", num_frames,
+                                return_type="Indices")
+    for i in range(len(sel)):
+        sel[i]
+    dt = time.time() - t0
+    return n_videos / dt * 60.0
 
 
 def main():
@@ -60,6 +134,10 @@ def main():
                    help="directory for a jax.profiler trace of one repeat")
     p.add_argument("--all-metrics", action="store_true",
                    help="print the full accounting dict instead of one line")
+    p.add_argument("--no-e2e", action="store_true",
+                   help="skip the end-to-end videos/min section (synthetic "
+                        "corpus: encode -> native decode -> score -> "
+                        "adaptive selection)")
     args = p.parse_args()
 
     dtype_name, precision, subsample, t_stride, s_stride = MODES[args.mode]
@@ -135,6 +213,13 @@ def main():
     wire_mb_s = 16.0 / (time.time() - t0)
     frame_mb = frames[0].nbytes / 1e6
 
+    # end-to-end summarization rate (BASELINE.md: "videos/min summarized"):
+    # synthetic corpus -> native codec decode (yuv420 wire) -> per-frame
+    # scoring -> adaptive CDF selection, timed as one pipeline
+    videos_per_min = None
+    if not args.no_e2e:
+        videos_per_min = _e2e_videos_per_min(scorer)
+
     flops_per_frame = scoring_flops_per_frame(
         cfg, local_size=3, eff_global=eff, global_subsample=subsample,
         teacher_stride=t_stride, score_stride=s_stride)
@@ -150,6 +235,8 @@ def main():
         "wire_mb_per_s": round(wire_mb_s, 1),
         "wire_ceiling_fps": round(wire_mb_s / frame_mb, 1),
     }
+    if videos_per_min is not None:
+        result["videos_per_min_e2e"] = round(videos_per_min, 1)
     if not args.all_metrics:
         print(json.dumps(result))
     else:
