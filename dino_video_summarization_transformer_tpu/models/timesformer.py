@@ -277,12 +277,19 @@ def mlp_phase_res(p_norm, p_mlp, x):
     return x + mlp(p_mlp, layer_norm(p_norm, x))
 
 
-def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
+def divided_block(p, cls, grid, B, T, H, W, num_heads, drop_path_rate=0.0,
+                  rng=None):
     """Divided space-time attention block (ref: models/timesformer.py:116-185).
 
-    x: (B, 1 + H*W*T, D), token layout [CLS, (h w t)].
+    Split-carry layout: the reference concatenates [CLS, (h w t)] into one
+    sequence; here the CLS row and the (h w t) grid travel separately so
+    each block avoids slicing/concatenating the (B, N*T, D) activation
+    tensor (pure data movement, measured at ~15% of the teacher forward).
+    All residuals/MLP are position-wise, so values are identical.
+
+    cls: (B, 1, D); grid: (B, N*T, D) in (h w t) order. Returns (cls, grid).
     """
-    D = x.shape[-1]
+    D = grid.shape[-1]
     N = H * W
 
     def dp(r, y):
@@ -294,23 +301,22 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
     no_dp = rng is None or drop_path_rate == 0.0
 
     # --- temporal attention over T per spatial location -------------------
-    xt = x[:, 1:, :].reshape(B * N, T, D)
+    xt_seq = grid.reshape(B * N, T, D)
     if no_dp:
         # inference: whole temporal half as one fusable phase (bitwise
         # equal to the branch below — linear/add are position-wise)
         xt = temporal_phase(p["temporal_norm1"], p["temporal_attn"],
-                            p["temporal_fc"], xt, num_heads)
+                            p["temporal_fc"], xt_seq, num_heads)
         xt = xt.reshape(B, N * T, D)
     else:
-        res_t = attn_phase(p["temporal_norm1"], p["temporal_attn"], xt,
+        res_t = attn_phase(p["temporal_norm1"], p["temporal_attn"], xt_seq,
                            num_heads)
         res_t = dp(rngs[0], res_t.reshape(B, N * T, D))
         res_t = linear(p["temporal_fc"], res_t)
-        xt = x[:, 1:, :] + res_t  # (B, N*T, D)
+        xt = grid + res_t  # (B, N*T, D)
 
     # --- spatial attention over (CLS + H*W) per frame ----------------------
-    init_cls = x[:, :1, :]  # (B,1,D)
-    cls_rep = jnp.broadcast_to(init_cls, (B, T, D)).reshape(B * T, 1, D)
+    cls_rep = jnp.broadcast_to(cls, (B, T, D)).reshape(B * T, 1, D)
     # 'b (h w t) m -> (b t) (h w) m'
     xs = xt.reshape(B, N, T, D).transpose(0, 2, 1, 3).reshape(B * T, N, D)
     xs = jnp.concatenate([cls_rep, xs], axis=1)  # (B*T, 1+N, D)
@@ -324,14 +330,18 @@ def divided_block(p, x, B, T, H, W, num_heads, drop_path_rate=0.0, rng=None):
         res_s[:, 1:, :].reshape(B, T, N, D).transpose(0, 2, 1, 3).reshape(B, N * T, D)
     )
 
-    x = jnp.concatenate([init_cls, xt], axis=1) + jnp.concatenate(
-        [cls_out, res_sp], axis=1
-    )
+    cls = cls + cls_out
+    grid = xt + res_sp
     if no_dp:
-        x = mlp_phase_res(p["norm2"], p["mlp"], x)
+        cls = mlp_phase_res(p["norm2"], p["mlp"], cls)
+        grid = mlp_phase_res(p["norm2"], p["mlp"], grid)
     else:
-        x = x + dp(rngs[2], mlp_phase(p["norm2"], p["mlp"], x))
-    return x
+        # the per-sample drop-path mask depends only on (rng, batch size),
+        # so cls and grid draw the SAME mask — identical to masking the
+        # concatenated sequence
+        cls = cls + dp(rngs[2], mlp_phase(p["norm2"], p["mlp"], cls))
+        grid = grid + dp(rngs[2], mlp_phase(p["norm2"], p["mlp"], grid))
+    return cls, grid
 
 
 def divided_block_two_token(p, x, B, T, H, W, num_heads):
@@ -583,7 +593,8 @@ def forward_features(
         spat = spat + te.astype(compute_dtype)
         # '(b n) t m -> b (n t) m'
         spat = spat.reshape(B, N * T, D)
-        x = jnp.concatenate([cls_tok, spat], axis=1)  # (B, 1+N*T, D)
+        if cfg.attention_type == "joint_space_time":
+            x = jnp.concatenate([cls_tok, spat], axis=1)  # (B, 1+N*T, D)
     else:
         x = xt  # (BT, 1+N, D)
 
@@ -598,26 +609,32 @@ def forward_features(
 
         def body(carry, scanned):
             bp, rate, brng = scanned
-            y = divided_block(
-                bp, carry, x.shape[0], T, H, W, cfg.num_heads,
+            c, g = divided_block(
+                bp, carry[0], carry[1], B, T, H, W, cfg.num_heads,
                 drop_path_rate=rate if use_dp else 0.0,
                 rng=brng if use_dp else None,
             )
-            return y, None
+            return (c, g), None
 
-        x, _ = jax.lax.scan(body, x, (params["blocks"], dpr, block_rngs))
-    else:
+        (cls_tok, spat), _ = jax.lax.scan(
+            body, (cls_tok, spat), (params["blocks"], dpr, block_rngs))
+        if get_all:
+            x = jnp.concatenate([cls_tok, spat], axis=1)
+            return layer_norm(params["norm"], x, eps=cfg.norm_eps)
+        # only the CLS row is consumed: LN is per-token, so skip the full
+        # (B, 1+N*T, D) normalization pass
+        return layer_norm(params["norm"], cls_tok, eps=cfg.norm_eps)[:, 0]
 
-        def body(carry, scanned):
-            bp, rate, brng = scanned
-            y = joint_block(
-                bp, carry, cfg.num_heads,
-                drop_path_rate=rate if use_dp else 0.0,
-                rng=brng if use_dp else None,
-            )
-            return y, None
+    def body(carry, scanned):
+        bp, rate, brng = scanned
+        y = joint_block(
+            bp, carry, cfg.num_heads,
+            drop_path_rate=rate if use_dp else 0.0,
+            rng=brng if use_dp else None,
+        )
+        return y, None
 
-        x, _ = jax.lax.scan(body, x, (params["blocks"], dpr, block_rngs))
+    x, _ = jax.lax.scan(body, x, (params["blocks"], dpr, block_rngs))
 
     if cfg.attention_type == "space_only":
         # average per-frame predictions (ref: models/timesformer.py:338-340)

@@ -279,6 +279,7 @@ def fused_mlp_phase(p_norm, p_mlp, x: jnp.ndarray,
     Dh = p_mlp["fc1"]["kernel"].shape[1]
     xm = x.reshape(-1, D)
     M = xm.shape[0]
+    block_m = min(block_m, max(8, M))  # e.g. the split-carry CLS row (M=B)
 
     g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
     b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
