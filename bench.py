@@ -37,11 +37,15 @@ import time
 
 
 MODES = {
-    # mode -> (dtype, precision, global_subsample, teacher_stride, score_stride)
-    "exact": ("bf16", None, 1, 1, 1),
-    "exact-f32": ("f32", "highest", 1, 1, 1),
-    "turbo": ("bf16", None, 1, 4, 1),
-    "turbo-max": ("bf16", None, 1, 4, 4),
+    # mode -> (dtype, precision, global_subsample, teacher_stride,
+    #          score_stride, teacher_img)
+    "exact": ("bf16", None, 1, 1, 1, 0),
+    "exact-f32": ("f32", "highest", 1, 1, 1, 0),
+    "turbo": ("bf16", None, 1, 4, 1, 0),
+    # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
+    # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
+    # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
+    "turbo-max": ("bf16", None, 1, 4, 4, 0),
 }
 
 
@@ -140,7 +144,8 @@ def main():
                         "adaptive selection)")
     args = p.parse_args()
 
-    dtype_name, precision, subsample, t_stride, s_stride = MODES[args.mode]
+    (dtype_name, precision, subsample, t_stride, s_stride,
+     t_img) = MODES[args.mode]
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -168,7 +173,8 @@ def main():
 
     scorer = FrameScorer(params, cfg, chunk=args.chunk, compute_dtype=dtype,
                          precision=precision, global_subsample=subsample,
-                         teacher_stride=t_stride, score_stride=s_stride)
+                         teacher_stride=t_stride, score_stride=s_stride,
+                         teacher_img=t_img)
 
     T = args.frames
     if args.wire == "yuv420":
@@ -222,7 +228,7 @@ def main():
 
     flops_per_frame = scoring_flops_per_frame(
         cfg, local_size=3, eff_global=eff, global_subsample=subsample,
-        teacher_stride=t_stride, score_stride=s_stride)
+        teacher_stride=t_stride, score_stride=s_stride, teacher_img=t_img)
     achieved = best * flops_per_frame
     result = {
         "metric": f"frames scored/sec/chip (TimeSformer ViT-B, {args.mode})",

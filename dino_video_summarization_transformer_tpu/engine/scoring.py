@@ -134,6 +134,7 @@ class FrameScorer:
         global_subsample: int = 1,
         teacher_stride: int = 1,
         score_stride: int = 1,
+        teacher_img: int = 0,
         use_pallas: str | bool = "auto",
         piece: int = PIECE,
     ):
@@ -171,6 +172,12 @@ class FrameScorer:
         self.global_subsample = max(1, int(global_subsample))
         self.teacher_stride = max(1, int(teacher_stride))
         self.score_stride = max(1, int(score_stride))
+        # teacher_img r > 0: the teacher's global windows are bilinearly
+        # resized to r x r ON DEVICE before the teacher forward (the model
+        # interpolates its positional grid to the new geometry). Quadratic
+        # FLOP savings in r/224; quality quantified by
+        # tools/validate_fast_scoring.py like the other knobs.
+        self.teacher_img = int(teacher_img)
         self.mean = jnp.asarray([0.45, 0.45, 0.45], jnp.float32)
         self.std = jnp.asarray([0.225, 0.225, 0.225], jnp.float32)
         self._prep = None
@@ -222,6 +229,14 @@ class FrameScorer:
         v = v.astype(self.compute_dtype)
         return v.transpose(0, 4, 1, 2, 3)  # (B, T, H, W, C) -> (B, C, T, H, W)
 
+    def _resize_teacher(self, v):
+        """(B, C, T, H, W) -> teacher_img spatial size, bilinear, on device."""
+        if not self.teacher_img or v.shape[-1] == self.teacher_img:
+            return v
+        B, C, T, _, _ = v.shape
+        return jax.image.resize(
+            v, (B, C, T, self.teacher_img, self.teacher_img), method="bilinear")
+
     def _build(self, eff_global: int):
         """Fused exact kernel: both forwards + loss for a chunk of frames."""
         cfg = self.model_cfg
@@ -229,7 +244,8 @@ class FrameScorer:
 
         def score_chunk(params, frames, loc_idx, glob_idx):
             local = self._gather_views(frames, loc_idx, self.local_size)
-            glob = self._gather_views(frames, glob_idx, eff_global)
+            glob = self._resize_teacher(
+                self._gather_views(frames, glob_idx, eff_global))
             s = tsf.forward(params, local, cfg, compute_dtype=dtype)
             t = tsf.forward(params, glob, cfg, compute_dtype=dtype)
             return scoring_dino_loss(
@@ -244,7 +260,8 @@ class FrameScorer:
         dtype = self.compute_dtype
 
         def teacher_chunk(params, frames, glob_idx):
-            glob = self._gather_views(frames, glob_idx, eff_global)
+            glob = self._resize_teacher(
+                self._gather_views(frames, glob_idx, eff_global))
             return tsf.forward(params, glob, cfg,
                                compute_dtype=dtype).astype(jnp.float32)
 

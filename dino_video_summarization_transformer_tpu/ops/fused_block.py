@@ -313,6 +313,18 @@ def fused_mlp_phase(p_norm, p_mlp, x: jnp.ndarray,
 # Dispatch
 # ---------------------------------------------------------------------------
 
+def enable_if_tpu_bf16(compute_dtype) -> bool:
+    """Convenience for inference CLIs: switch the block phases to the
+    fused kernels when running bfloat16 on a real TPU (no-op elsewhere —
+    interpreter-mode kernels would slow CPU runs down). Returns whether
+    the swap happened. Only for paths that never differentiate through
+    the backbone (the kernels define no VJP)."""
+    if compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        use_fused_block(True)
+        return True
+    return False
+
+
 def use_fused_block(enable: bool = True) -> None:
     """Swap the TimeSformer's block phases for the fused Pallas kernels.
 

@@ -82,13 +82,20 @@ def scoring_flops_per_frame(
     global_subsample: int = 1,
     teacher_stride: int = 1,
     score_stride: int = 1,
+    teacher_img: int = 0,
 ) -> float:
     """Average FLOPs spent per video frame by FrameScorer with the given
     approximation knobs (student forward per scored frame + teacher forward
-    per teacher position)."""
+    per teacher position; ``teacher_img`` shrinks the teacher's spatial
+    grid quadratically)."""
+    import dataclasses
+
     t_frames = len(range(0, eff_global, max(1, global_subsample)))
     student = timesformer_forward_flops(cfg, local_size)
-    teacher = timesformer_forward_flops(cfg, t_frames)
+    t_cfg = cfg
+    if teacher_img and teacher_img != cfg.img_size:
+        t_cfg = dataclasses.replace(cfg, img_size=teacher_img)
+    teacher = timesformer_forward_flops(t_cfg, t_frames)
     m = max(1, score_stride)
     k = max(1, teacher_stride)
     return (student + teacher / k) / m

@@ -97,6 +97,11 @@ def extract_feature_pipeline(args):
         params = init_timesformer(jax.random.key(0), mcfg)
 
     dtype = jnp.bfloat16 if args.precision == "bfloat16" else jnp.float32
+    from dino_video_summarization_transformer_tpu.ops.fused_block import (
+        enable_if_tpu_bf16)
+
+    # frozen-backbone forwards only -> fused Pallas phases are safe
+    enable_if_tpu_bf16(dtype)
     mesh = build_mesh() if jax.device_count() > 1 else None
 
     print("Extracting features for train set...")

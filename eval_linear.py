@@ -98,6 +98,11 @@ def eval_linear(args):
         params = init_timesformer(jax.random.key(0), mcfg)
 
     dtype = jnp.bfloat16 if args.precision == "bfloat16" else jnp.float32
+    from dino_video_summarization_transformer_tpu.ops.fused_block import (
+        enable_if_tpu_bf16)
+
+    # frozen-backbone forwards only -> fused Pallas phases are safe
+    enable_if_tpu_bf16(dtype)
     scaled_lr = args.lr * args.batch_size_per_gpu * jax.device_count() / 256.0
     state, train_step, eval_step, epoch_lr = make_linear_probe(
         params, mcfg, num_labels=args.num_labels, lr=scaled_lr,

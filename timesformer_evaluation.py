@@ -101,10 +101,16 @@ def evaluation(args):
         augmentations=False, return_type="Indices", mode="test",
         sharpen=args.sharpen)
 
+    compute_dtype = (jnp.bfloat16 if args.precision == "bfloat16"
+                     else jnp.float32)
+    from dino_video_summarization_transformer_tpu.ops.fused_block import (
+        enable_if_tpu_bf16)
+
+    enable_if_tpu_bf16(compute_dtype)  # eval-only forwards: fused is safe
+
     return evaluate_selection(
         dataset, params, mcfg, num_frames=args.num_frames,
-        log_path=args.log_path,
-        compute_dtype=jnp.bfloat16 if args.precision == "bfloat16" else jnp.float32,
+        log_path=args.log_path, compute_dtype=compute_dtype,
         limit=args.limit or None)
 
 

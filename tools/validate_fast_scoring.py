@@ -41,6 +41,10 @@ MODE_GRID = {
     "k8": dict(teacher_stride=8),
     "s4 (round-1 'fast')": dict(global_subsample=4),
     "turbo-max(k4m4)": dict(teacher_stride=4, score_stride=4),
+    # low-resolution teacher: global windows bilinearly resized on device;
+    # scaled below the validator's own image size by the 224-ratio
+    "t-lowres": "teacher_lowres",
+    "t-lowres+k4": "teacher_lowres_k4",
 }
 
 
@@ -160,7 +164,15 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
     measure("bf16-exact (noise floor)",
             FrameScorer(params, cfg, chunk=chunk,
                         compute_dtype=jnp.bfloat16, precision=None))
+    # teacher_img scales with the validator resolution (160/224 of img,
+    # rounded to a multiple of the patch size)
+    t_img = max(cfg.patch_size,
+                round(img * 160 / 224 / cfg.patch_size) * cfg.patch_size)
     for name, kw in MODE_GRID.items():
+        if kw == "teacher_lowres":
+            kw = dict(teacher_img=t_img)
+        elif kw == "teacher_lowres_k4":
+            kw = dict(teacher_img=t_img, teacher_stride=4)
         measure(name, FrameScorer(params, cfg, chunk=chunk,
                                   compute_dtype=np.float32, precision=None,
                                   **kw))
@@ -168,7 +180,9 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
     # exactly what bench.py ships — the stride error must not compound
     # with the quantization floor
     for name, kw in (("turbo-prod (bf16,k4)", dict(teacher_stride=4)),
-                     ("k8-prod (bf16)", dict(teacher_stride=8))):
+                     ("k8-prod (bf16)", dict(teacher_stride=8)),
+                     ("t160-prod (bf16,k4,lowres)",
+                      dict(teacher_stride=4, teacher_img=t_img))):
         measure(name, FrameScorer(params, cfg, chunk=chunk,
                                   compute_dtype=jnp.bfloat16, precision=None,
                                   **kw))
