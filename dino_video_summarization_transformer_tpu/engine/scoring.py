@@ -174,10 +174,19 @@ class FrameScorer:
         self.score_stride = max(1, int(score_stride))
         # teacher_img r > 0: the teacher's global windows are bilinearly
         # resized to r x r ON DEVICE before the teacher forward (the model
-        # interpolates its positional grid to the new geometry). Quadratic
-        # FLOP savings in r/224; quality quantified by
-        # tools/validate_fast_scoring.py like the other knobs.
+        # interpolates its positional grid to the new geometry).
+        # INVALIDATED on this chip, twice over: measured SLOWER than turbo
+        # (118 vs 139 f/s — a 101-token teacher runs at ~20% MFU, eating
+        # the quadratic FLOP savings) and far above the quality floor
+        # (Spearman ~0.54 worst-case, rel err ~19% on the live validator;
+        # eval_logs/lowres_validation_96.json). Kept as an experimental
+        # knob for hardware where small-sequence kernels are cheaper.
         self.teacher_img = int(teacher_img)
+        if self.teacher_img:
+            # the reference's pos-embed resize quirk (H_new = n_tokens//W
+            # counting CLS) breaks on a 1x1 patch grid; require >= 2x2
+            assert self.teacher_img >= 2 * model_cfg.patch_size, (
+                self.teacher_img, model_cfg.patch_size)
         self.mean = jnp.asarray([0.45, 0.45, 0.45], jnp.float32)
         self.std = jnp.asarray([0.225, 0.225, 0.225], jnp.float32)
         self._prep = None

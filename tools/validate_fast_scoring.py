@@ -98,7 +98,7 @@ def teacher_saturation(params, cfg, video, glob, sample_positions):
 
 
 def run_model_validation(arch: str, n_videos: int, T: int, img: int,
-                         chunk: int):
+                         chunk: int, modes=None):
     """Model-based grid, with the bf16-quantization baseline.
 
     The decisive context row is ``bf16-exact vs f32-exact``: the production
@@ -166,9 +166,12 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                         compute_dtype=jnp.bfloat16, precision=None))
     # teacher_img scales with the validator resolution (160/224 of img,
     # rounded to a multiple of the patch size)
-    t_img = max(cfg.patch_size,
+    t_img = max(2 * cfg.patch_size,
                 round(img * 160 / 224 / cfg.patch_size) * cfg.patch_size)
+    t_img = min(t_img, img)  # degenerate validators: lowres becomes a no-op
     for name, kw in MODE_GRID.items():
+        if modes and name not in modes:
+            continue
         if kw == "teacher_lowres":
             kw = dict(teacher_img=t_img)
         elif kw == "teacher_lowres_k4":
@@ -181,8 +184,10 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
     # with the quantization floor
     for name, kw in (("turbo-prod (bf16,k4)", dict(teacher_stride=4)),
                      ("k8-prod (bf16)", dict(teacher_stride=8)),
-                     ("t160-prod (bf16,k4,lowres)",
+                     ("t-lowres-prod",
                       dict(teacher_stride=4, teacher_img=t_img))):
+        if modes and name not in modes:
+            continue
         measure(name, FrameScorer(params, cfg, chunk=chunk,
                                   compute_dtype=jnp.bfloat16, precision=None,
                                   **kw))
@@ -239,6 +244,9 @@ def main():
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--out", default="eval_logs/fast_scoring_validation.json")
     p.add_argument("--skip-model", action="store_true")
+    p.add_argument("--modes", default="",
+                   help="comma list restricting the mode grid (the floor "
+                        "row always runs); e.g. 't-lowres,t-lowres+k4'")
     args = p.parse_args()
 
     report = {"reference_json_interpolation": run_reference_json_validation()}
@@ -246,9 +254,12 @@ def main():
         validators = ([(args.arch, args.img)] if args.arch
                       else DEFAULT_VALIDATORS)
         grids = {}
+        mode_filter = ([m.strip() for m in args.modes.split(",") if m.strip()]
+                       or None)
         for arch, img in validators:
             grids[f"{arch}@{img}"] = run_model_validation(
-                arch, args.videos, args.frames, img, args.chunk)
+                arch, args.videos, args.frames, img, args.chunk,
+                modes=mode_filter)
         report["model_grids"] = grids
         # worst-case aggregation over LIVE validators only: a validator
         # whose random-init teacher saturates to a constant one-hot
