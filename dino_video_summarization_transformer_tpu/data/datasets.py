@@ -107,6 +107,22 @@ class DinoLossDataset:
             "local_size": self.local_clip_size,
             "dummy": False,
         }
+        try:
+            return self._load_item(path, out)
+        except Exception as e:
+            # Any unexpected per-video failure (truncated container, odd
+            # geometry, ...) degrades to the reference's constant-loss
+            # dummy protocol (ref: dino_loss_loader.py:34-38) instead of
+            # killing the whole scoring run.
+            print(f"scoring: substituting dummy views for {path}: {e!r}",
+                  flush=True)
+            out["dummy"] = True
+            out["frames"] = None
+            out["eff_global"] = 1
+            out["num_frames"] = self.global_clip_size
+            return out
+
+    def _load_item(self, path: str, out: dict) -> dict:
         packed = self.wire_format == "yuv420"
         try:
             # decode with the pre-sampling stride applied in the decoder

@@ -12,11 +12,17 @@ end: the native decoder emits packed I420, the host never touches the pixel
 data, and the device unpacks + color-converts + normalizes inside the
 compiled scoring kernel. Wire bytes drop 2x with no extra host work.
 
-Layout ("packed I420"): a (T, H*3//2, W) uint8 array per clip —
-  rows [0, H)             Y plane (full resolution)
-  rows [H, H + H//4)      U plane, (H//2, W//2) laid out row-major
-  rows [H + H//4, H*3//2) V plane, likewise
-H and W must be even (4:2:0 chroma siting).
+Layout ("packed I420"): a (T, H*3//2, W) uint8 array per clip viewing the
+decoder's contiguous byte stream (native/decoder.cc:169-178 packs Y then U
+then V with no padding):
+  rows [0, H)        Y plane (full resolution)
+  rows [H, H*3//2)   chroma bytes: U plane (H//2 * W//2 bytes) immediately
+                     followed by V plane (likewise), flattened row-major
+H and W must be even (4:2:0 chroma siting). The chroma planes are sliced
+from the FLAT byte stream, not from whole rows — for H % 4 == 0 the U
+plane happens to occupy exactly rows [H, H+H//4), but for H == 2 (mod 4)
+(e.g. 480x270 video) the U plane ends mid-row; byte-flat slicing keeps the
+layout exact for any even H.
 
 Color math: BT.601 limited range ("studio swing"), the swscale default for
 unflagged SD content and what our mpeg4 test encoder produces. Chroma is
@@ -76,8 +82,10 @@ def pack_rgb(frames: np.ndarray) -> np.ndarray:
     v = v.reshape(T, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
     out = np.empty((T, packed_height(H), W), np.uint8)
     out[:, :H] = np.clip(np.rint(y), 16, 235)
-    out[:, H:H + H // 4] = np.clip(np.rint(u), 16, 240).reshape(T, H // 4, W)
-    out[:, H + H // 4:] = np.clip(np.rint(v), 16, 240).reshape(T, H // 4, W)
+    chroma = np.concatenate(
+        [np.clip(np.rint(u), 16, 240).reshape(T, -1),
+         np.clip(np.rint(v), 16, 240).reshape(T, -1)], axis=1)
+    out[:, H:] = chroma.reshape(T, H // 2, W)
     return out
 
 
@@ -86,8 +94,12 @@ def _planes(packed: np.ndarray):
     H = frame_height(rows)
     lead = packed.shape[:-2]
     y = packed[..., :H, :]
-    u = packed[..., H:H + H // 4, :].reshape(*lead, H // 2, W // 2)
-    v = packed[..., H + H // 4:, :].reshape(*lead, H // 2, W // 2)
+    # chroma planes are byte-flat after the Y rows (see module docstring) —
+    # row-based slicing would only be correct for H % 4 == 0
+    chroma = packed[..., H:, :].reshape(*lead, (H // 2) * W)
+    q = (H // 2) * (W // 2)
+    u = chroma[..., :q].reshape(*lead, H // 2, W // 2)
+    v = chroma[..., q:].reshape(*lead, H // 2, W // 2)
     return y, u, v, H, W
 
 
@@ -124,11 +136,11 @@ def crop(packed: np.ndarray, y0: int, x0: int, ch: int, cw: int) -> np.ndarray:
     yc = y[..., y0:y0 + ch, x0:x0 + cw]
     uc = u[..., y0 // 2:(y0 + ch) // 2, x0 // 2:(x0 + cw) // 2]
     vc = v[..., y0 // 2:(y0 + ch) // 2, x0 // 2:(x0 + cw) // 2]
-    out = np.concatenate([
-        yc,
-        uc.reshape(*lead, ch // 4, cw),
-        vc.reshape(*lead, ch // 4, cw),
-    ], axis=-2)
+    chroma = np.concatenate(
+        [np.ascontiguousarray(uc).reshape(*lead, -1),
+         np.ascontiguousarray(vc).reshape(*lead, -1)], axis=-1)
+    out = np.concatenate(
+        [yc, chroma.reshape(*lead, ch // 2, cw)], axis=-2)
     return np.ascontiguousarray(out)
 
 
@@ -147,8 +159,11 @@ def unpack_normalize(packed, mean, std, dtype):
     H = frame_height(rows)
     lead = packed.shape[:-2]
     y = packed[..., :H, :]
-    u = packed[..., H:H + H // 4, :].reshape(*lead, H // 2, W // 2)
-    v = packed[..., H + H // 4:, :].reshape(*lead, H // 2, W // 2)
+    # byte-flat chroma slicing — matches _planes for any even H
+    chroma = packed[..., H:, :].reshape(*lead, (H // 2) * W)
+    q = (H // 2) * (W // 2)
+    u = chroma[..., :q].reshape(*lead, H // 2, W // 2)
+    v = chroma[..., q:].reshape(*lead, H // 2, W // 2)
     c = (y.astype(jnp.float32) - 16.0) * _Y_GAIN
     d = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1).astype(jnp.float32) - 128.0
     e = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1).astype(jnp.float32) - 128.0

@@ -193,16 +193,20 @@ class FrameScorer:
         # Fused block-phase Pallas kernels (ops/fused_block.py): LN+QKV+
         # attention+proj and LN+MLP each collapse to one VMEM-resident
         # kernel — measured 918->544 ms on the chunk-32 teacher forward
-        # (the phases are HBM-bound in XLA; see BENCH.md). The dispatch is
-        # dtype-aware (bf16 only), so exact-f32 scorers keep the XLA path.
-        # "auto" enables it on real TPUs; True forces it (interpret mode
-        # off-TPU, for tests); False leaves XLA.
-        if use_pallas is True or (
-                use_pallas == "auto" and jax.default_backend() == "tpu"
-                and compute_dtype == jnp.bfloat16):
-            from ..ops.fused_block import use_fused_block
+        # (the phases are HBM-bound in XLA; see BENCH.md). Dispatch is
+        # PER-MODEL via TimeSformerConfig.use_fused (two scorers with
+        # different settings coexist in one process) and dtype-gated (bf16
+        # only), so exact-f32 scorers keep the XLA path. "auto" enables it
+        # on real TPUs; True forces it (interpret mode off-TPU, for
+        # tests); False leaves XLA.
+        import dataclasses as _dc
 
-            use_fused_block(True)
+        from ..ops.fused_block import should_fuse
+
+        if use_pallas is True or (use_pallas == "auto"
+                                  and should_fuse(compute_dtype)):
+            self.model_cfg = model_cfg = _dc.replace(model_cfg,
+                                                     use_fused=True)
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:

@@ -52,6 +52,14 @@ class TimeSformerConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     norm_eps: float = 1e-6
+    # Route the block phases through the fused Pallas kernels
+    # (ops/fused_block.py). Per-model dispatch: two models with different
+    # settings coexist in one process (the flag travels with the config,
+    # which every forward already takes). The phase functions keep a
+    # dtype/shape gate — only bfloat16 activations with fusable dims take
+    # the kernel path, so f32 bit-parity forwards are untouched even with
+    # the flag set.
+    use_fused: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -250,35 +258,58 @@ def _drop_path(rng, x, rate):
 # Block
 # ---------------------------------------------------------------------------
 
-def attn_phase(p_norm, p_attn, x, num_heads):
+def attn_phase(p_norm, p_attn, x, num_heads, use_fused: bool = False):
     """LN -> MHSA over (S, L, D) sequences: the fusable inner phase of both
-    the temporal and spatial halves of a divided block. Swappable with a
-    fused Pallas kernel via ops.fused_block (weights resident in VMEM,
-    activations cross HBM once)."""
+    the temporal and spatial halves of a divided block. ``use_fused``
+    dispatches to the fused Pallas kernel (ops/fused_block.py — weights
+    resident in VMEM, activations cross HBM once) when the dtype/shape
+    gate admits it."""
+    if use_fused:
+        from ..ops import fused_block
+
+        if fused_block.fused_ok(x, num_heads):
+            return fused_block.fused_attn_phase(p_norm, p_attn, x, num_heads)
     return mhsa(p_attn, layer_norm(p_norm, x), num_heads)
 
 
-def mlp_phase(p_norm, p_mlp, x):
+def mlp_phase(p_norm, p_mlp, x, use_fused: bool = False):
     """LN -> MLP, the residual branch of the block's feed-forward half."""
+    if use_fused:
+        from ..ops import fused_block
+
+        if fused_block.fused_ok(x):
+            return fused_block.fused_mlp_phase(p_norm, p_mlp, x)
     return mlp(p_mlp, layer_norm(p_norm, x))
 
 
-def temporal_phase(p_norm, p_attn, p_fc, x, num_heads):
+def temporal_phase(p_norm, p_attn, p_fc, x, num_heads, use_fused: bool = False):
     """x + temporal_fc(MHSA(LN(x))) over (S, T, D) sequences — the divided
     block's complete temporal half (inference path, no drop-path).
     Position-wise identical to the unfused sequence of ops; swappable with
     one fused Pallas kernel."""
+    if use_fused:
+        from ..ops import fused_block
+
+        if fused_block.fused_ok(x, num_heads):
+            return fused_block.fused_temporal_phase(
+                p_norm, p_attn, p_fc, x, num_heads)
     return x + linear(p_fc, mhsa(p_attn, layer_norm(p_norm, x), num_heads))
 
 
-def mlp_phase_res(p_norm, p_mlp, x):
+def mlp_phase_res(p_norm, p_mlp, x, use_fused: bool = False):
     """x + MLP(LN(x)) — the feed-forward half with its residual
     (inference path, no drop-path)."""
+    if use_fused:
+        from ..ops import fused_block
+
+        if fused_block.fused_ok(x):
+            return fused_block.fused_mlp_phase(p_norm, p_mlp, x,
+                                               residual=True)
     return x + mlp(p_mlp, layer_norm(p_norm, x))
 
 
 def divided_block(p, cls, grid, B, T, H, W, num_heads, drop_path_rate=0.0,
-                  rng=None):
+                  rng=None, use_fused: bool = False):
     """Divided space-time attention block (ref: models/timesformer.py:116-185).
 
     Split-carry layout: the reference concatenates [CLS, (h w t)] into one
@@ -306,7 +337,8 @@ def divided_block(p, cls, grid, B, T, H, W, num_heads, drop_path_rate=0.0,
         # inference: whole temporal half as one fusable phase (bitwise
         # equal to the branch below — linear/add are position-wise)
         xt = temporal_phase(p["temporal_norm1"], p["temporal_attn"],
-                            p["temporal_fc"], xt_seq, num_heads)
+                            p["temporal_fc"], xt_seq, num_heads,
+                            use_fused=use_fused)
         xt = xt.reshape(B, N * T, D)
     else:
         res_t = attn_phase(p["temporal_norm1"], p["temporal_attn"], xt_seq,
@@ -320,7 +352,8 @@ def divided_block(p, cls, grid, B, T, H, W, num_heads, drop_path_rate=0.0,
     # 'b (h w t) m -> (b t) (h w) m'
     xs = xt.reshape(B, N, T, D).transpose(0, 2, 1, 3).reshape(B * T, N, D)
     xs = jnp.concatenate([cls_rep, xs], axis=1)  # (B*T, 1+N, D)
-    res_s = attn_phase(p["norm1"], p["attn"], xs, num_heads)
+    res_s = attn_phase(p["norm1"], p["attn"], xs, num_heads,
+                       use_fused=use_fused)
     res_s = dp(rngs[1], res_s)
 
     # cls averaged over frames (ref: models/timesformer.py:161-164)
@@ -333,8 +366,8 @@ def divided_block(p, cls, grid, B, T, H, W, num_heads, drop_path_rate=0.0,
     cls = cls + cls_out
     grid = xt + res_sp
     if no_dp:
-        cls = mlp_phase_res(p["norm2"], p["mlp"], cls)
-        grid = mlp_phase_res(p["norm2"], p["mlp"], grid)
+        cls = mlp_phase_res(p["norm2"], p["mlp"], cls, use_fused=use_fused)
+        grid = mlp_phase_res(p["norm2"], p["mlp"], grid, use_fused=use_fused)
     else:
         # the per-sample drop-path mask depends only on (rng, batch size),
         # so cls and grid draw the SAME mask — identical to masking the
@@ -613,6 +646,7 @@ def forward_features(
                 bp, carry[0], carry[1], B, T, H, W, cfg.num_heads,
                 drop_path_rate=rate if use_dp else 0.0,
                 rng=brng if use_dp else None,
+                use_fused=cfg.use_fused,
             )
             return (c, g), None
 

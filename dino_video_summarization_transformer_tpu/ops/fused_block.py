@@ -41,11 +41,30 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fusable(x) -> bool:
-    """Mosaic can only shape-cast (BB, L, D) <-> (BB*L, D) when D is a
-    multiple of the 128-lane tile (vit_tiny's D=192 fails with
-    'unsupported shape cast'); narrower models keep the XLA phases."""
-    return x.shape[-1] % 128 == 0
+def fused_ok(x, num_heads: int | None = None) -> bool:
+    """Dtype/shape gate for the per-call fused dispatch in
+    models/timesformer.py's phase functions.
+
+    * bf16 only: the kernels compute in bf16; f32 bit-parity forwards in
+      the same process must keep the XLA phases untouched.
+    * D % 128 == 0: Mosaic can only shape-cast (BB, L, D) <-> (BB*L, D)
+      when D is a multiple of the 128-lane tile (vit_tiny's D=192 fails
+      with 'unsupported shape cast').
+    * head_dim < 128: the MXU softmax denominator rides ones columns
+      appended to V up to the 128-lane tile, so hd == 128 leaves no room
+      for the ones column (and hd > 128 is out of tile) — e.g. D=768 with
+      6 heads must keep XLA."""
+    if x.dtype != jnp.bfloat16 or x.shape[-1] % 128 != 0:
+        return False
+    return num_heads is None or x.shape[-1] // num_heads < 128
+
+
+def should_fuse(compute_dtype) -> bool:
+    """Default policy for CLIs/engines: fuse when computing bfloat16 on a
+    real TPU (interpreter-mode kernels would slow CPU runs down). The
+    result feeds TimeSformerConfig.use_fused; tests force the flag
+    directly to exercise the kernels in interpreter mode."""
+    return compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -57,6 +76,7 @@ def _attn_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     BB, L, D = x_ref.shape
     H = num_heads
     hd = D // H
+    assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
     scale = hd ** -0.5
 
     # LayerNorm in f32 (parity with the XLA path)
@@ -140,6 +160,121 @@ def fused_attn_phase(p_norm, p_attn, x: jnp.ndarray, num_heads: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused spatial phase (frame-major layout): per frame t,
+#   seq_t   = [cls, grid[:, t]]                       (1+N tokens)
+#   res_t   = proj(mhsa(layer_norm(seq_t)))
+#   grid_out[:, t] = grid[:, t] + res_t[1:]           (residual in-kernel)
+#   cls_out[:, t]  = res_t[0]                         (raw, caller averages)
+# ---------------------------------------------------------------------------
+
+def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                          wproj_ref, bproj_ref, go_ref, co_ref, *,
+                          num_heads: int):
+    _, F, N, D = x_ref.shape
+    H = num_heads
+    hd = D // H
+    assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
+    scale = hd ** -0.5
+    L = N + 1
+
+    x = x_ref[0]  # (F, N, D) grid tokens of F frames
+    cls = jnp.broadcast_to(cls_ref[0].reshape(1, 1, D), (F, 1, D))
+    seq = jnp.concatenate([cls.astype(x.dtype), x], axis=1)  # (F, L, D)
+
+    xf = seq.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
+
+    qkv = jax.lax.dot_general(
+        y.reshape(F * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(F, L, 3 * D)
+
+    ones = jnp.ones((F, L, 128 - hd), jnp.bfloat16)
+    head_outs = []
+    for h in range(H):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (F, L, L)
+        p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        v_aug = jnp.concatenate([v, ones], axis=2)  # (F, L, 128)
+        acc = jax.lax.dot_general(
+            p, v_aug, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        head_outs.append(
+            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+    a = jnp.concatenate(head_outs, axis=2).reshape(F * L, D)
+
+    proj = jax.lax.dot_general(
+        a, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    proj = (proj + bproj_ref[0]).reshape(F, L, D)
+    go_ref[0] = (x_ref[0] + proj[:, 1:, :].astype(x_ref.dtype)).astype(
+        go_ref.dtype)
+    co_ref[0] = proj[:, 0, :].astype(co_ref.dtype)
+
+
+def fused_spatial_phase(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
+                        num_heads: int, block_f: int = 0):
+    """The divided block's complete spatial half over FRAME-MAJOR grid
+    tokens, glue-free (ref semantics: models/timesformer.py:140-176 of the
+    reference — CLS broadcast into every frame's sequence, per-frame MHSA,
+    CLS row returned per frame for the caller's temporal average).
+
+    x (B, T, N, D): grid tokens, frame-major — the layout patch embedding
+    produces naturally, so no (B,N,T,D) <-> (B*T,N,D) transpose copies and
+    no CLS concat/slice ever materialize in HBM (VERDICT r2 next-#1: that
+    XLA glue measured ~25% of the teacher forward).
+    cls (B, 1, D). Returns (x + res (B, T, N, D), cls rows (B, T, D)).
+    """
+    B, T, N, D = x.shape
+    L = N + 1
+    if not block_f:
+        l_pad = -(-L // 16) * 16
+        block_f = max(1, min(T, 512 // l_pad))
+    while T % block_f:
+        block_f -= 1
+
+    g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
+    b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
+    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    bqkv = p_attn["qkv"].get("bias")
+    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * D)
+    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+    bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
+
+    x_spec = pl.BlockSpec((1, block_f, N, D), lambda bi, ti: (bi, ti, 0, 0),
+                          memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    co_spec = pl.BlockSpec((1, block_f, D), lambda bi, ti: (bi, ti, 0),
+                           memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bi, ti: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_spatial_phase_kernel, num_heads=num_heads),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, D), x.dtype)),
+        grid=(B, T // block_f),
+        in_specs=[x_spec, cls_spec, full(1, D), full(1, D), full(D, 3 * D),
+                  full(1, 3 * D), full(D, D), full(1, D)],
+        out_specs=(x_spec, co_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * L * (8 * D * D + 4 * L * D),
+            bytes_accessed=2 * B * T * N * D * x.dtype.itemsize,
+            transcendentals=B * T * L * L,
+        ),
+        interpret=_interpret(),
+    )(x, cls, g, b, wqkv, bqkv, wproj, bproj)
+
+
+# ---------------------------------------------------------------------------
 # Fused temporal phase: out = x + fc(proj(mhsa(layer_norm(x))))
 # ---------------------------------------------------------------------------
 
@@ -149,6 +284,7 @@ def _temporal_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     BB, L, D = x_ref.shape
     H = num_heads
     hd = D // H
+    assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
     scale = hd ** -0.5
 
     x = x_ref[:].astype(jnp.float32)
@@ -309,65 +445,3 @@ def fused_mlp_phase(p_norm, p_mlp, x: jnp.ndarray,
     return out.reshape(shape)
 
 
-# ---------------------------------------------------------------------------
-# Dispatch
-# ---------------------------------------------------------------------------
-
-def enable_if_tpu_bf16(compute_dtype) -> bool:
-    """Convenience for inference CLIs: switch the block phases to the
-    fused kernels when running bfloat16 on a real TPU (no-op elsewhere —
-    interpreter-mode kernels would slow CPU runs down). Returns whether
-    the swap happened. Only for paths that never differentiate through
-    the backbone (the kernels define no VJP)."""
-    if compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
-        use_fused_block(True)
-        return True
-    return False
-
-
-def use_fused_block(enable: bool = True) -> None:
-    """Swap the TimeSformer's block phases for the fused Pallas kernels.
-
-    The installed dispatch is dtype-aware: only bfloat16 activations take
-    the fused path (the kernels compute in bf16), so float32 bit-parity
-    forwards in the same process are untouched. Inference/scoring only —
-    the fused phases define no VJP; gradient tracing falls back to XLA."""
-    from ..models import timesformer as tsf
-
-    if enable:
-        if not hasattr(tsf, "_attn_phase_xla"):
-            tsf._attn_phase_xla = tsf.attn_phase
-            tsf._mlp_phase_xla = tsf.mlp_phase
-            tsf._mlp_phase_res_xla = tsf.mlp_phase_res
-            tsf._temporal_phase_xla = tsf.temporal_phase
-
-        def attn_dispatch(pn, pa, x, nh):
-            if x.dtype == jnp.bfloat16 and _fusable(x):
-                return fused_attn_phase(pn, pa, x, nh)
-            return tsf._attn_phase_xla(pn, pa, x, nh)
-
-        def mlp_dispatch(pn, pm, x):
-            if x.dtype == jnp.bfloat16 and _fusable(x):
-                return fused_mlp_phase(pn, pm, x)
-            return tsf._mlp_phase_xla(pn, pm, x)
-
-        def mlp_res_dispatch(pn, pm, x):
-            if x.dtype == jnp.bfloat16 and _fusable(x):
-                return fused_mlp_phase(pn, pm, x, residual=True)
-            return tsf._mlp_phase_res_xla(pn, pm, x)
-
-        def temporal_dispatch(pn, pa, pfc, x, nh):
-            if x.dtype == jnp.bfloat16 and _fusable(x):
-                return fused_temporal_phase(pn, pa, pfc, x, nh)
-            return tsf._temporal_phase_xla(pn, pa, pfc, x, nh)
-
-        tsf.attn_phase = attn_dispatch
-        tsf.mlp_phase = mlp_dispatch
-        tsf.mlp_phase_res = mlp_res_dispatch
-        tsf.temporal_phase = temporal_dispatch
-    else:
-        if hasattr(tsf, "_attn_phase_xla"):
-            tsf.attn_phase = tsf._attn_phase_xla
-            tsf.mlp_phase = tsf._mlp_phase_xla
-            tsf.mlp_phase_res = tsf._mlp_phase_res_xla
-            tsf.temporal_phase = tsf._temporal_phase_xla

@@ -97,11 +97,13 @@ def extract_feature_pipeline(args):
         params = init_timesformer(jax.random.key(0), mcfg)
 
     dtype = jnp.bfloat16 if args.precision == "bfloat16" else jnp.float32
+    import dataclasses
+
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
-        enable_if_tpu_bf16)
+        should_fuse)
 
     # frozen-backbone forwards only -> fused Pallas phases are safe
-    enable_if_tpu_bf16(dtype)
+    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype))
     mesh = build_mesh() if jax.device_count() > 1 else None
 
     print("Extracting features for train set...")

@@ -98,11 +98,13 @@ def eval_linear(args):
         params = init_timesformer(jax.random.key(0), mcfg)
 
     dtype = jnp.bfloat16 if args.precision == "bfloat16" else jnp.float32
+    import dataclasses
+
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
-        enable_if_tpu_bf16)
+        should_fuse)
 
     # frozen-backbone forwards only -> fused Pallas phases are safe
-    enable_if_tpu_bf16(dtype)
+    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype))
     scaled_lr = args.lr * args.batch_size_per_gpu * jax.device_count() / 256.0
     state, train_step, eval_step, epoch_lr = make_linear_probe(
         params, mcfg, num_labels=args.num_labels, lr=scaled_lr,

@@ -182,3 +182,86 @@ def test_dataset_yuv_wire(tmp_path):
     # same decode, same (even-aligned) crop window, different color path;
     # the rgb crop offset may sit one luma row/col off the even-aligned one
     assert err.mean() < 6.0, err.mean()
+
+
+def test_odd_quarter_height_layout(tmp_path):
+    """H == 2 (mod 4) frames (e.g. 480x270 video): the packed layout is
+    byte-flat after the Y rows, so pack/crop/unpack must work even though
+    the U plane ends mid-row (ADVICE r2 high: the old whole-row layout
+    raised ValueError and crashed yuv420 scoring runs for such videos)."""
+    # chroma constant over each 2x2 block -> subsampling is lossless and
+    # the roundtrip isolates the LAYOUT (any byte misplacement explodes)
+    r = np.random.RandomState(3)
+    base = r.rand(4, 135, 160, 3)
+    frames = np.clip(np.kron(base, np.ones((1, 2, 2, 1))) * 255,
+                     0, 255).astype(np.uint8)
+    p = yuv.pack_rgb(frames)
+    assert p.shape == (4, 405, 320)
+    back = yuv.unpack_to_rgb(p)
+    err = np.abs(back.astype(int) - frames.astype(int))
+    assert err.max() <= 3, err.max()
+
+    # crop stays consistent with crop-of-unpacked at even-aligned offsets
+    c = yuv.crop(p, 23, 48, 224, 224)
+    ref = yuv.unpack_to_rgb(p)[:, 22:22 + 224, 48:48 + 224]
+    np.testing.assert_array_equal(yuv.unpack_to_rgb(c), ref)
+
+    # device unpack agrees with the host mirror (pre-rounding)
+    import jax.numpy as jnp
+
+    out = np.asarray(yuv.unpack_normalize(
+        jnp.asarray(c), [0.45] * 3, [0.225] * 3, jnp.float32))
+    host = (ref.astype(np.float32) / 255.0 - 0.45) / 0.225
+    assert np.abs(out - host).max() < 0.01  # half a uint8 step / 0.225
+
+
+def test_dataset_odd_height_video_no_crash(tmp_path):
+    """A real 480x270-style video must score, not crash: the native decoder
+    emits even-rounded H=270 packed frames, and DinoLossDataset must carry
+    them through crop/windows (or degrade to the dummy protocol — never
+    raise)."""
+    if not vio.native_available():
+        pytest.skip("native decoder unavailable")
+    from dino_video_summarization_transformer_tpu.config.defaults import (
+        get_cfg)
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        DinoLossDataset)
+
+    frames = _smooth_rgb(T=40, H=270, W=480, seed=9)
+    vdir = tmp_path / "vids"
+    vdir.mkdir()
+    vio.write_video(str(vdir / "odd.avi"), frames, fps=30.0)
+    (tmp_path / "test.csv").write_text("odd.avi 0\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(vdir)
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+
+    ds = DinoLossDataset(cfg, "test", 3, 30, 1, wire_format="yuv420")
+    item = ds[0]
+    assert not item["dummy"], "odd-height video should score, not dummy"
+    assert item["frames"].shape[1:] == (336, 224)
+
+
+def test_dataset_unexpected_error_degrades_to_dummy(tmp_path, monkeypatch):
+    """Unexpected per-video exceptions (not just DecodeError) must route to
+    the constant-loss dummy protocol instead of crashing the scoring run."""
+    from dino_video_summarization_transformer_tpu.config.defaults import (
+        get_cfg)
+    from dino_video_summarization_transformer_tpu.data import datasets as dmod
+
+    (tmp_path / "test.csv").write_text("ghost.avi 0\n")
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(tmp_path)
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+
+    ds = dmod.DinoLossDataset(cfg, "test", 3, 30, 1, wire_format="yuv420")
+
+    def boom(*a, **k):
+        raise ValueError("corrupt geometry")
+
+    monkeypatch.setattr(dmod.vio, "read_video_yuv420", boom)
+    item = ds[0]
+    assert item["dummy"] and item["frames"] is None

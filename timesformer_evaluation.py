@@ -103,10 +103,13 @@ def evaluation(args):
 
     compute_dtype = (jnp.bfloat16 if args.precision == "bfloat16"
                      else jnp.float32)
-    from dino_video_summarization_transformer_tpu.ops.fused_block import (
-        enable_if_tpu_bf16)
+    import dataclasses
 
-    enable_if_tpu_bf16(compute_dtype)  # eval-only forwards: fused is safe
+    from dino_video_summarization_transformer_tpu.ops.fused_block import (
+        should_fuse)
+
+    # eval-only forwards: fused is safe
+    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(compute_dtype))
 
     return evaluate_selection(
         dataset, params, mcfg, num_frames=args.num_frames,

@@ -78,19 +78,21 @@ def main():
           f"(rel {err / np.abs(np.asarray(want)).max():.4e})", flush=True)
 
     # --- full forwards ---------------------------------------------------
+    import dataclasses
+
     for label, enable in [("XLA", False), ("fused", True)]:
-        fb.use_fused_block(enable)
+        run_cfg = dataclasses.replace(cfg, use_fused=enable)
         for name, T, B in [("teacher T=30", 30, 32), ("student T=3", 3, 32)]:
             x = jax.jit(lambda: jax.random.normal(
                 jax.random.key(T), (B, 3, T, 224, 224), jnp.bfloat16))()
             _force(x)
-            fwd = lambda p, x: forward(p, x, cfg, compute_dtype=jnp.bfloat16)
+            fwd = lambda p, x: forward(p, x, run_cfg,
+                                       compute_dtype=jnp.bfloat16)
             secs = bench_fwd(fwd, params, x)
             fl = B * timesformer_forward_flops(cfg, T)
             print(f"{label:6s} {name:14s} {secs * 1e3:8.2f} ms  "
                   f"{fl / secs / 1e12:6.2f} TFLOP/s  {B / secs:7.1f} clips/s",
                   flush=True)
-    fb.use_fused_block(False)
 
 
 if __name__ == "__main__":

@@ -339,6 +339,15 @@ def train_svt(args):
 
     # ---------------- train loop -------------------------------------------
     start_time = time.time()
+    tracing = False
+
+    def stop_trace():
+        nonlocal tracing
+        jax.block_until_ready(state.student)
+        jax.profiler.stop_trace()
+        tracing = False
+        print(f"profiler trace written to {args.profile_dir}", flush=True)
+
     for epoch in range(start_epoch, args.epochs):
         epoch_idx = shard_indices(len(dataset), jax.process_index(), world,
                                   shuffle=True, seed=args.seed + epoch,
@@ -373,13 +382,12 @@ def train_svt(args):
             if args.max_steps_per_epoch and it >= args.max_steps_per_epoch:
                 break
             gi = min(epoch * niter_per_ep + it, len(lr_sched) - 1)
-            if args.profile_dir and gi == args.profile_start_step:
+            if (args.profile_dir and not tracing
+                    and gi == args.profile_start_step):
                 jax.profiler.start_trace(args.profile_dir)
-            if args.profile_dir and gi == args.profile_start_step + args.profile_steps:
-                jax.block_until_ready(state.student)
-                jax.profiler.stop_trace()
-                print(f"profiler trace written to {args.profile_dir}",
-                      flush=True)
+                tracing = True
+            if tracing and gi >= args.profile_start_step + args.profile_steps:
+                stop_trace()
             batch_dev = jax.device_put(
                 jax.tree.map(jnp.asarray, batch), d_shard)
             step_args = (batch_dev,) if rand_fr else tuple(batch_dev)
@@ -428,6 +436,10 @@ def train_svt(args):
             with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
 
+    if tracing:
+        # the run ended inside the trace window (few steps or
+        # max_steps_per_epoch) — flush the trace instead of dropping it
+        stop_trace()
     total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
     print(f"Training time {total}")
     return state
