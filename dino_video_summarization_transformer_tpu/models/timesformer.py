@@ -308,6 +308,36 @@ def mlp_phase_res(p_norm, p_mlp, x, use_fused: bool = False):
     return x + mlp(p_mlp, layer_norm(p_norm, x))
 
 
+def divided_block_fused(p, cls, grid_tm, num_heads):
+    """Glue-free divided block over FRAME-MAJOR grid tokens (inference,
+    fused Pallas path — semantics of divided_block, values equal to bf16
+    kernel tolerance).
+
+    grid_tm: (B, T, N, D), ONE HBM layout for the whole block: the
+    temporal half transposes to position-major inside its kernel's VMEM
+    (fused_temporal_phase_tm), and the spatial half (incl. CLS
+    concat/slice and its residual) runs as one kernel over contiguous
+    frame blocks. The XLA path's per-block glue — full-tensor transpose
+    copies, CLS broadcast/concat, residual slice — never touches HBM
+    (VERDICT r2 next-#1: that glue measured ~25% of the teacher forward).
+    """
+    from ..ops import fused_block
+
+    grid_tm = fused_block.fused_temporal_phase_tm(
+        p["temporal_norm1"], p["temporal_attn"], p["temporal_fc"], grid_tm,
+        num_heads)
+
+    grid_tm, cls_frames = fused_block.fused_spatial_phase(
+        p["norm1"], p["attn"], cls, grid_tm, num_heads)
+    cls = cls + cls_frames.mean(axis=1, keepdims=True)
+
+    grid_tm = fused_block.fused_mlp_phase(p["norm2"], p["mlp"], grid_tm,
+                                          residual=True)
+    cls = fused_block.fused_mlp_phase(p["norm2"], p["mlp"], cls,
+                                      residual=True)
+    return cls, grid_tm
+
+
 def divided_block(p, cls, grid, B, T, H, W, num_heads, drop_path_rate=0.0,
                   rng=None, use_fused: bool = False):
     """Divided space-time attention block (ref: models/timesformer.py:116-185).
@@ -615,6 +645,44 @@ def forward_features(
         pe = resize_pos_embed(pe, xt.shape[1], W)
     xt = xt + pe.astype(compute_dtype)
 
+    dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+    use_dp = train and cfg.drop_path_rate > 0.0 and rng is not None
+
+    # Glue-free fused path (inference): grid tokens stay FRAME-MAJOR
+    # (B, T, N, D) for the whole block stack — patch embedding's natural
+    # layout — and every phase runs as one Pallas kernel, so no transpose /
+    # CLS-concat / residual-slice copies ever hit HBM. All conditions are
+    # trace-time static; f32 or non-fusable dims keep the XLA path below
+    # (which stays bit-identical to the unfused reference semantics).
+    glue_free = (
+        cfg.attention_type == "divided_space_time"
+        and cfg.use_fused
+        and not use_dp
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+        and D % 128 == 0
+        and D // cfg.num_heads < 128
+    )
+    if glue_free:
+        cls_tok = xt[:B, :1, :]  # identical across frames pre-mixing
+        spat_tm = xt[:, 1:, :].reshape(B, T, N, D)
+        te = params["time_embed"]
+        if T != te.shape[1]:
+            te = interp_nearest_1d(te, T, axis=1)
+        spat_tm = spat_tm + te.astype(compute_dtype)[:, :, None, :]
+
+        def body(carry, bp):
+            return divided_block_fused(bp, carry[0], carry[1],
+                                       cfg.num_heads), None
+
+        (cls_tok, grid_tm), _ = jax.lax.scan(
+            body, (cls_tok, spat_tm), params["blocks"])
+        if get_all:
+            # reference token order [CLS, (h w t)]: one transpose, at the end
+            spat = grid_tm.transpose(0, 2, 1, 3).reshape(B, N * T, D)
+            x = jnp.concatenate([cls_tok, spat], axis=1)
+            return layer_norm(params["norm"], x, eps=cfg.norm_eps)
+        return layer_norm(params["norm"], cls_tok, eps=cfg.norm_eps)[:, 0]
+
     if cfg.attention_type != "space_only":
         cls_tok = xt[:B, :1, :]  # identical across frames pre-mixing
         spat = xt[:, 1:, :]  # (BT, N, D)
@@ -632,8 +700,6 @@ def forward_features(
         x = xt  # (BT, 1+N, D)
 
     # --- stacked blocks under lax.scan -------------------------------------
-    dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
-    use_dp = train and cfg.drop_path_rate > 0.0 and rng is not None
     block_rngs = (
         jax.random.split(rng, cfg.depth) if use_dp else jnp.zeros((cfg.depth, 2), jnp.uint32)
     )

@@ -216,7 +216,7 @@ def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     proj = (proj + bproj_ref[0]).reshape(F, L, D)
     go_ref[0] = (x_ref[0] + proj[:, 1:, :].astype(x_ref.dtype)).astype(
         go_ref.dtype)
-    co_ref[0] = proj[:, 0, :].astype(co_ref.dtype)
+    co_ref[0, 0] = proj[:, 0, :].astype(co_ref.dtype)
 
 
 def fused_spatial_phase(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
@@ -253,14 +253,17 @@ def fused_spatial_phase(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
                           memory_space=pltpu.VMEM)
     cls_spec = pl.BlockSpec((1, 1, D), lambda bi, ti: (bi, 0, 0),
                             memory_space=pltpu.VMEM)
-    co_spec = pl.BlockSpec((1, block_f, D), lambda bi, ti: (bi, ti, 0),
+    # CLS rows come out as (B, T/bf, bf, D) so the block's last two dims
+    # cover their array dims in full (bf is rarely 8-divisible)
+    co_spec = pl.BlockSpec((1, 1, block_f, D), lambda bi, ti: (bi, ti, 0, 0),
                            memory_space=pltpu.VMEM)
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, ti: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    grid_out, cls_rows = pl.pallas_call(
         functools.partial(_spatial_phase_kernel, num_heads=num_heads),
         out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
-                   jax.ShapeDtypeStruct((B, T, D), x.dtype)),
+                   jax.ShapeDtypeStruct((B, T // block_f, block_f, D),
+                                        x.dtype)),
         grid=(B, T // block_f),
         in_specs=[x_spec, cls_spec, full(1, D), full(1, D), full(D, 3 * D),
                   full(1, 3 * D), full(D, D), full(1, D)],
@@ -272,6 +275,7 @@ def fused_spatial_phase(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
         ),
         interpret=_interpret(),
     )(x, cls, g, b, wqkv, bqkv, wproj, bproj)
+    return grid_out, cls_rows.reshape(B, T, D)
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +372,121 @@ def fused_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray,
         ),
         interpret=_interpret(),
     )(x, g, b, wqkv, bqkv, wproj, bproj, wfc, bfc)
+
+
+# ---------------------------------------------------------------------------
+# Fused temporal phase over FRAME-MAJOR tokens: x (B, T, N, D) ->
+# x + fc(proj(mhsa_over_T(layer_norm(x)))) with the position-major
+# transposes done IN VMEM — the glue-free block layout (divided_block_fused)
+# never materializes a (B, N, T, D) copy in HBM.
+# ---------------------------------------------------------------------------
+
+def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                              wproj_ref, bproj_ref, wfc_ref, bfc_ref, o_ref,
+                              *, num_heads: int):
+    _, T, _, BN, D = x_ref.shape
+    H = num_heads
+    hd = D // H
+    assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
+    scale = hd ** -0.5
+
+    x = x_ref[0, :, 0].astype(jnp.float32)  # (T, BN, D)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
+
+    # frame-major -> position-major, in registers/VMEM (the only layout
+    # change in the whole phase; its HBM twin costs 2 full-tensor passes
+    # per block in the XLA path)
+    yt = jnp.swapaxes(y, 0, 1)  # (BN, T, D)
+
+    qkv = jax.lax.dot_general(
+        yt.reshape(BN * T, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BN, T, 3 * D)
+
+    ones = jnp.ones((BN, T, 128 - hd), jnp.bfloat16)
+    head_outs = []
+    for h in range(H):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (BN, T, T)
+        p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        v_aug = jnp.concatenate([v, ones], axis=2)
+        acc = jax.lax.dot_general(
+            p, v_aug, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        head_outs.append(
+            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+    a = jnp.concatenate(head_outs, axis=2).reshape(BN * T, D)
+
+    proj = jax.lax.dot_general(
+        a, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    proj = (proj + bproj_ref[0]).astype(jnp.bfloat16)
+    fc = jax.lax.dot_general(
+        proj, wfc_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    fc = (fc + bfc_ref[0]).reshape(BN, T, D)
+    fc = jnp.swapaxes(fc, 0, 1)  # back to frame-major (T, BN, D)
+    o_ref[0, :, 0] = (x_ref[0, :, 0] + fc.astype(x_ref.dtype)).astype(
+        o_ref.dtype)
+
+
+def fused_temporal_phase_tm(p_norm, p_attn, p_fc, x: jnp.ndarray,
+                            num_heads: int, block_n: int = 0) -> jnp.ndarray:
+    """Temporal half of the divided block over FRAME-MAJOR grid tokens:
+    x (B, T, N, D) -> x + temporal_fc(MHSA_over_T(LN(x))), values equal to
+    fused_temporal_phase on the transposed layout. The position-major view
+    attention needs exists only in VMEM, so the glue-free forward keeps ONE
+    HBM layout for the entire block stack (VERDICT r2 next-#1)."""
+    B, T, N, D = x.shape
+    if not block_n:
+        block_n = max(1, min(N, 512 // T))
+    while N % block_n:
+        block_n -= 1
+    nb = N // block_n
+    # (B, T, nb, bn, D) view — a free reshape — so the block's last two
+    # dims (bn, D) cover their array dims in full, which Mosaic's block
+    # rules require (bn is rarely 8-divisible: N = 196 = 4 * 49)
+    x5 = x.reshape(B, T, nb, block_n, D)
+
+    g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
+    b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
+    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    bqkv = p_attn["qkv"].get("bias")
+    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * D)
+    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+    bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
+    wfc = p_fc["kernel"].astype(jnp.bfloat16)
+    bfc = p_fc["bias"].astype(jnp.float32).reshape(1, D)
+
+    x_spec = pl.BlockSpec((1, T, 1, block_n, D),
+                          lambda bi, ni: (bi, 0, ni, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bi, ni: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_temporal_phase_tm_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, T, nb, block_n, D), x.dtype),
+        grid=(B, nb),
+        in_specs=[x_spec, full(1, D), full(1, D), full(D, 3 * D),
+                  full(1, 3 * D), full(D, D), full(1, D), full(D, D),
+                  full(1, D)],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=B * N * T * (10 * D * D + 4 * T * D),
+            bytes_accessed=2 * B * T * N * D * x.dtype.itemsize,
+            transcendentals=B * N * T * T,
+        ),
+        interpret=_interpret(),
+    )(x5, g, b, wqkv, bqkv, wproj, bproj, wfc, bfc)
+    return out.reshape(B, T, N, D)
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,52 @@ from __future__ import annotations
 import numpy as np
 
 
+def make_numpy_params(cfg, seed: int = 0):
+    """Deterministic TimeSformer params drawn from numpy (RandomState is
+    bit-stable forever, unlike jax.random across jax versions) — the basis
+    of the committed golden score artifact (tests/test_golden_scores.py):
+    a numerics regression must come from the SCORING MATH, never from an
+    RNG stream change. Mirrors init_timesformer's pytree structure."""
+    import jax.numpy as jnp
+
+    r = np.random.RandomState(seed)
+    D, L = cfg.embed_dim, cfg.depth
+    Dh = int(D * cfg.mlp_ratio)
+
+    def lin(fi, fo, std=0.02):
+        return {"kernel": jnp.asarray(r.randn(fi, fo) * std, jnp.float32),
+                "bias": jnp.asarray(r.randn(fo) * 0.01, jnp.float32)}
+
+    def ln():
+        return {"scale": jnp.asarray(1 + 0.05 * r.randn(D), jnp.float32),
+                "bias": jnp.asarray(0.02 * r.randn(D), jnp.float32)}
+
+    def stack(ps):
+        import jax
+        return jax.tree.map(lambda *a: jnp.stack(a), *ps)
+
+    blocks = stack([{
+        "norm1": ln(),
+        "attn": {"qkv": lin(D, 3 * D), "proj": lin(D, D)},
+        "norm2": ln(),
+        "mlp": {"fc1": lin(D, Dh), "fc2": lin(Dh, D)},
+        "temporal_norm1": ln(),
+        "temporal_attn": {"qkv": lin(D, 3 * D), "proj": lin(D, D)},
+        "temporal_fc": lin(D, D),
+    } for _ in range(L)])
+    return {
+        "cls_token": jnp.asarray(r.randn(1, 1, D) * 0.02, jnp.float32),
+        "pos_embed": jnp.asarray(
+            r.randn(1, cfg.num_patches + 1, D) * 0.02, jnp.float32),
+        "patch_embed": {
+            "proj": lin(cfg.patch_size * cfg.patch_size * cfg.in_chans, D)},
+        "blocks": blocks,
+        "norm": ln(),
+        "time_embed": jnp.asarray(
+            r.randn(1, cfg.num_frames, D) * 0.02, jnp.float32),
+    }
+
+
 def make_video(seed: int, T: int, size: int, events: bool = True) -> np.ndarray:
     r = np.random.RandomState(seed)
     big = r.rand(size * 3, size * 3, 3).astype(np.float32)

@@ -38,6 +38,48 @@ def test_fused_attn_phase_matches_xla(S, L, D, H):
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("B,T,N,D,H", [(2, 5, 6, 64, 2), (1, 3, 8, 96, 3)])
+def test_fused_temporal_phase_tm_matches_xla(B, T, N, D, H):
+    """Frame-major temporal kernel == the XLA temporal phase run on the
+    position-major layout (the in-VMEM transpose must be value-exact)."""
+    pn, pa = _attn_params(jax.random.key(10), D)
+    pfc = {"kernel": 0.1 * jax.random.normal(jax.random.key(11), (D, D)),
+           "bias": jnp.zeros((D,)) + 0.03}
+    x = jax.random.normal(jax.random.key(12), (B, T, N, D), jnp.bfloat16)
+    xt = x.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B * N, T, D)
+    want = np.asarray(tsf.temporal_phase(pn, pa, pfc, xt, H))
+    want = want.reshape(B, N, T, D).transpose(0, 2, 1, 3)
+    got = np.asarray(
+        fb.fused_temporal_phase_tm(pn, pa, pfc, x, H, block_n=2), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+def test_divided_block_fused_matches_unfused():
+    """The glue-free frame-major block == divided_block on the token-major
+    layout, CLS and grid both (within bf16 kernel tolerance)."""
+    B, T, Hh, Ww, D, H = 2, 3, 2, 2, 128, 2
+    N = Hh * Ww
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=D, depth=1, num_heads=H,
+        num_frames=T, num_classes=0)
+    p = jax.tree.map(lambda a: a[0].astype(jnp.bfloat16),
+                     tsf.init_timesformer(jax.random.key(0), cfg)["blocks"])
+    cls = jax.random.normal(jax.random.key(1), (B, 1, D), jnp.bfloat16)
+    grid_tm = jax.random.normal(jax.random.key(2), (B, T, N, D), jnp.bfloat16)
+
+    grid_tok = grid_tm.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
+        B, N * T, D)
+    want_cls, want_grid = tsf.divided_block(
+        p, cls.astype(jnp.float32), grid_tok, B, T, Hh, Ww, H)
+    want_grid = np.asarray(want_grid).reshape(B, N, T, D).transpose(0, 2, 1, 3)
+
+    got_cls, got_grid = tsf.divided_block_fused(p, cls, grid_tm, H)
+    np.testing.assert_allclose(np.asarray(got_cls, np.float32),
+                               np.asarray(want_cls), atol=6e-2, rtol=6e-2)
+    np.testing.assert_allclose(np.asarray(got_grid, np.float32), want_grid,
+                               atol=6e-2, rtol=6e-2)
+
+
 def test_fused_mlp_phase_matches_xla_ragged():
     D, Dh = 64, 128
     pn = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}

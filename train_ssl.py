@@ -371,6 +371,8 @@ def train_svt(args):
                 if not math.isfinite(vals["loss"]):
                     print(f"Loss is {vals['loss']}, stopping training",
                           flush=True)
+                    if tracing:
+                        stop_trace()  # flush the profile of the dying run
                     sys.exit(1)
                 metric_logger.update(lr=lr_sched[p_gi], wd=wd_sched[p_gi],
                                      **vals)
