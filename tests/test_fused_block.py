@@ -80,6 +80,142 @@ def test_divided_block_fused_matches_unfused():
                                atol=6e-2, rtol=6e-2)
 
 
+def _grad_compare(loss_fused, loss_xla, args, tol=2e-2):
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    gx = jax.grad(loss_xla, argnums=tuple(range(len(args))))(*args)
+    worst = 0.0
+    for (pth, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gf),
+                                jax.tree_util.tree_leaves_with_path(gx)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert rel < tol, (jax.tree_util.keystr(pth), rel)
+        worst = max(worst, rel)
+    return worst
+
+
+def test_mlp_phase_vjp():
+    """Backward Pallas kernel (recompute-in-kernel) == XLA autodiff of the
+    unfused phase, params and x, both residual variants, ragged tail."""
+    D, Dh = 64, 128
+    pn = {"scale": jnp.ones((D,)) + 0.1, "bias": jnp.zeros((D,)) + 0.05}
+    pm = {"fc1": {"kernel": 0.2 * jax.random.normal(jax.random.key(1), (D, Dh)),
+                  "bias": jnp.zeros((Dh,)) + 0.01},
+          "fc2": {"kernel": 0.2 * jax.random.normal(jax.random.key(2), (Dh, D)),
+                  "bias": jnp.zeros((D,)) - 0.01}}
+    x = jax.random.normal(jax.random.key(3), (3, 13, D), jnp.float32)
+    co = jax.random.normal(jax.random.key(4), (3, 13, D), jnp.float32)
+    for residual in (False, True):
+        xla_fn = tsf.mlp_phase_res if residual else tsf.mlp_phase
+        _grad_compare(
+            lambda a_, b_, c_: jnp.sum(fb.fused_mlp_phase(
+                a_, b_, c_, block_m=16, residual=residual).astype(
+                    jnp.float32) * co),
+            lambda a_, b_, c_: jnp.sum(
+                xla_fn(a_, b_, c_).astype(jnp.float32) * co),
+            (pn, pm, x))
+
+
+def test_temporal_phase_tm_vjp():
+    B, T, N, D, H = 2, 5, 6, 64, 2
+    pn, pa = _attn_params(jax.random.key(0), D)
+    pfc = {"kernel": 0.1 * jax.random.normal(jax.random.key(3), (D, D)),
+           "bias": jnp.zeros((D,)) + 0.03}
+    x = jax.random.normal(jax.random.key(4), (B, T, N, D), jnp.float32)
+    co = jax.random.normal(jax.random.key(5), (B, T, N, D), jnp.float32)
+
+    def xla(pn_, pa_, pfc_, x_):
+        xt = x_.transpose(0, 2, 1, 3).reshape(B * N, T, D)
+        out = tsf.temporal_phase(pn_, pa_, pfc_, xt, H)
+        return jnp.sum(out.reshape(B, N, T, D).transpose(0, 2, 1, 3)
+                       .astype(jnp.float32) * co)
+
+    _grad_compare(
+        lambda a_, b_, c_, d_: jnp.sum(fb.fused_temporal_phase_tm(
+            a_, b_, c_, d_, H, block_n=2).astype(jnp.float32) * co),
+        xla, (pn, pa, pfc, x))
+
+
+def test_spatial_phase_vjp():
+    B, T, N, D, H = 2, 4, 6, 64, 2
+    pn, pa = _attn_params(jax.random.key(0), D)
+    cls = jax.random.normal(jax.random.key(3), (B, 1, D), jnp.float32)
+    x = jax.random.normal(jax.random.key(4), (B, T, N, D), jnp.float32)
+    cog = jax.random.normal(jax.random.key(5), (B, T, N, D), jnp.float32)
+    coc = jax.random.normal(jax.random.key(6), (B, T, D), jnp.float32)
+
+    def fused(pn_, pa_, cls_, x_):
+        go, co = fb.fused_spatial_phase(pn_, pa_, cls_, x_, H, block_f=2)
+        return (jnp.sum(go.astype(jnp.float32) * cog)
+                + jnp.sum(co.astype(jnp.float32) * coc))
+
+    def xla(pn_, pa_, cls_, x_):
+        xs = x_.reshape(B * T, N, D)
+        cls_rep = jnp.broadcast_to(cls_, (B, T, D)).reshape(B * T, 1, D)
+        seq = jnp.concatenate([cls_rep, xs], axis=1)
+        res = tsf.attn_phase(pn_, pa_, seq, H)
+        go = x_ + res[:, 1:, :].reshape(B, T, N, D)
+        co = res[:, 0, :].reshape(B, T, D)
+        return (jnp.sum(go.astype(jnp.float32) * cog)
+                + jnp.sum(co.astype(jnp.float32) * coc))
+
+    _grad_compare(fused, xla, (pn, pa, cls, x))
+
+
+def test_glue_free_forward_grad():
+    """jax.grad through the full glue-free forward (scan of
+    divided_block_fused under custom VJPs) == XLA forward grads within
+    bf16 kernel tolerance — the training step can run the fused path."""
+    import dataclasses
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        num_frames=2, num_classes=0, drop_path_rate=0.0)
+    cfg_fused = dataclasses.replace(cfg, use_fused=True)
+    params = tsf.init_timesformer(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 2, 32, 32), jnp.bfloat16)
+    co = jax.random.normal(jax.random.key(2), (2, 128), jnp.float32)
+
+    def loss(c):
+        return lambda p: jnp.sum(tsf.forward(
+            p, x, c, compute_dtype=jnp.bfloat16).astype(jnp.float32) * co)
+
+    gf = jax.grad(loss(cfg_fused))(params)
+    gx = jax.grad(loss(cfg))(params)
+    for (pth, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gf),
+                                jax.tree_util.tree_leaves_with_path(gx)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-6
+        rel = np.abs(a - b).max() / denom
+        assert rel < 0.15, (jax.tree_util.keystr(pth), rel)
+
+
+def test_fused_train_step_decreases_loss():
+    """make_train_step over the glue-free fused model (custom-VJP kernels in
+    interpret mode): runs, loss finite and moving, params update."""
+    import dataclasses
+
+    from dino_video_summarization_transformer_tpu.train.ssl import (
+        init_train_state, make_train_step)
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        num_frames=2, num_classes=0, drop_path_rate=0.0, use_fused=True)
+    state, core, mask = init_train_state(
+        jax.random.key(0), cfg, out_dim=64, optimizer="adamw")
+    step = make_train_step(cfg, core, mask, n_local_crops=2, clip_grad=3.0,
+                           compute_dtype=jnp.bfloat16, donate=False)
+    g = jax.random.normal(jax.random.key(1), (2, 3, 2, 32, 32), jnp.bfloat16)
+    l = jax.random.normal(jax.random.key(2), (2, 3, 2, 32, 32), jnp.bfloat16)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, g, l, 1e-3, 0.0, 0.99, 0.04, True)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(v) for v in losses), losses
+    assert losses[-1] != losses[0], "params did not move"
+
+
 def test_fused_mlp_phase_matches_xla_ragged():
     D, Dh = 64, 128
     pn = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}

@@ -252,6 +252,16 @@ def train_svt(args):
         cnn_params = jax.tree.map(jnp.asarray, cnn_params)
 
     compute_dtype = jnp.bfloat16 if args.use_fp16 else jnp.float32
+    from dino_video_summarization_transformer_tpu.ops.fused_block import (
+        should_fuse)
+    if should_fuse(compute_dtype):
+        # bf16 on a real TPU: run the glue-free fused block phases — the
+        # custom-VJP Pallas kernels cover the backward too, so the whole
+        # student gradient path stays fused (ops/fused_block.py). Dtype/
+        # shape gates keep non-fusable geometries on XLA automatically.
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(mcfg, use_fused=True)
     mesh = build_mesh()
     d_shard = data_sharding(mesh)
 
