@@ -475,6 +475,215 @@ class FrameScorer:
         return PendingScore(
             outs, post=lambda losses: np.interp(np.arange(T), pos, losses))
 
+    # -- cross-video group scoring ---------------------------------------------
+
+    def _run_group_chunks(self, fn, specs, extra=None) -> List[tuple]:
+        """Chunk a row stream spanning SEVERAL videos into full dispatches.
+
+        Per-video chunking leaves boundary chunks underfilled (a 60-frame
+        MSVD clip has 16 turbo teacher rows against chunk 32: half of every
+        teacher dispatch — the expensive forward — is padding). Here rows
+        from ``specs = [(buf, positions, idx_mats), ...]`` are concatenated
+        in order and chunks may straddle videos: the device span for a
+        chunk is the concatenation of each contributing video's piece
+        range, padded with zero pieces to the group-wide maximum so every
+        chunk shares one compiled shape (VERDICT r2 next-#2).
+
+        ``extra`` (optional): per-video device/host row arrays aligned with
+        positions (the strided modes' teacher features); chunks slice them
+        as contiguous runs, on device, sync-free.
+
+        Returns [(device_out, n_valid)]; row order is the concatenation of
+        the per-video position lists.
+        """
+        chunk = self.chunk
+        P = specs[0][0].piece if specs else PIECE
+
+        rows: List[tuple] = []  # (vid, position-index-within-vid)
+        for vi, (_, positions, _) in enumerate(specs):
+            rows.extend((vi, j) for j in range(len(positions)))
+        if not rows:
+            return []
+        n_mats = len(specs[0][2])
+
+        # per-chunk piece segments and the group-wide span size
+        chunk_plans = []
+        K_max = 1
+        for c0 in range(0, len(rows), chunk):
+            crows = rows[c0:c0 + chunk]
+            vids = []
+            for v, _ in crows:
+                if not vids or vids[-1] != v:
+                    vids.append(v)
+            segs = []
+            k_total = 0
+            for v in vids:
+                buf, positions, mats = specs[v]
+                sel = np.asarray([j for (vv, j) in crows if vv == v])
+                lo = min(int(m[positions[sel]].min()) for m in mats)
+                hi = max(int(m[positions[sel]].max()) for m in mats)
+                lo_p, hi_p = lo // P, hi // P
+                segs.append((v, lo_p, hi_p))
+                k_total += hi_p - lo_p + 1
+            K_max = max(K_max, k_total)
+            chunk_plans.append((crows, segs))
+
+        zero_piece = None
+        outs = []
+        inflight: List[jnp.ndarray] = []
+        for crows, segs in chunk_plans:
+            pieces = []
+            offsets = {}
+            off = 0
+            for v, lo_p, hi_p in segs:
+                buf = specs[v][0]
+                offsets[v] = off - lo_p * P
+                buf.fire_until(hi_p + 1)
+                pieces.append(buf.span(lo_p, hi_p - lo_p + 1))
+                off += (hi_p - lo_p + 1) * P
+            while off < K_max * P:  # zero-pad to the shared span shape
+                if zero_piece is None:
+                    shape = (P,) + specs[0][0].frames.shape[1:]
+                    zero_piece = jnp.zeros(shape, specs[0][0].frames.dtype)
+                pieces.append(zero_piece)
+                off += P
+            span = (pieces[0] if len(pieces) == 1
+                    else jnp.concatenate(pieces, axis=0))
+
+            n = len(crows)
+            args = [self.params, span]
+            for mi in range(n_mats):
+                mat = np.stack([specs[v][2][mi][specs[v][1][j]] + offsets[v]
+                                for (v, j) in crows])
+                if n < chunk:
+                    mat = np.pad(mat, ((0, chunk - n), (0, 0)))
+                args.append(jnp.asarray(mat))
+            if extra is not None:
+                runs = []
+                r0 = 0
+                for i in range(1, n + 1):
+                    if i == n or crows[i][0] != crows[r0][0]:
+                        v = crows[r0][0]
+                        j0, j1 = crows[r0][1], crows[i - 1][1] + 1
+                        runs.append(extra[v][j0:j1])
+                        r0 = i
+                ex = (runs[0] if len(runs) == 1
+                      else jnp.concatenate(runs, axis=0))
+                if n < chunk:
+                    ex = jnp.pad(ex, ((0, chunk - n), (0, 0)))
+                args.append(ex)
+            out = fn(*args)
+            inflight.append(out)
+            outs.append((out, n))
+            if len(inflight) > MAX_INFLIGHT:
+                inflight.pop(0).block_until_ready()
+        return outs
+
+    def score_group_async(self, items: List[dict]) -> List["PendingScore"]:
+        """Score several videos' items with cross-video chunk batching.
+
+        Returns one PendingScore per item (order preserved). Items whose
+        window geometry differs (short-video eff_global clamp) or that are
+        dummies fall back to the per-video paths; the rest share full
+        chunks. The caller bounds group size (run_scoring keeps the total
+        piece count under the resident budget)."""
+        results: List[Optional[PendingScore]] = [None] * len(items)
+        groups: Dict[int, List[int]] = {}
+        for i, item in enumerate(items):
+            if item["dummy"]:
+                results[i] = PendingScore([], ready=self.dummy_losses())
+                continue
+            eff = item["eff_global"]
+            if self.global_subsample > 1:
+                eff = len(range(0, eff, self.global_subsample))
+            groups.setdefault(eff, []).append(i)
+
+        for eff, idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                results[i] = self.score_item_async(items[i])
+                continue
+            sub = [items[i] for i in idxs]
+            if self.teacher_stride > 1 or self.score_stride > 1:
+                handles = self._score_group_strided(sub)
+            else:
+                handles = self._score_group_exact(sub)
+            for i, h in zip(idxs, handles):
+                results[i] = h
+        return results
+
+    def _group_inputs(self, items):
+        bufs, locs, globs = [], [], []
+        for item in items:
+            bufs.append(self._make_buffer(item["frames"]))
+            loc, glob = item["local_idx"], item["global_idx"]
+            if self.global_subsample > 1:
+                glob = glob[:, ::self.global_subsample]
+            locs.append(loc)
+            globs.append(glob)
+        eff = globs[0].shape[1]
+        return bufs, locs, globs, eff
+
+    def _score_group_exact(self, items) -> List["PendingScore"]:
+        bufs, locs, globs, eff = self._group_inputs(items)
+        fn = self._get(eff)
+        specs = [(buf, np.arange(it["frames"].shape[0]), [loc, glob])
+                 for buf, it, loc, glob in zip(bufs, items, locs, globs)]
+        outs = self._run_group_chunks(fn, specs)
+        gf = _GroupFetch(outs)
+        handles, s = [], 0
+        for it in items:
+            T = it["frames"].shape[0]
+            handles.append(PendingScore([], group=(gf, s, s + T)))
+            s += T
+        return handles
+
+    def _score_group_strided(self, items) -> List["PendingScore"]:
+        m, k = self.score_stride, self.teacher_stride
+        bufs, locs, globs, eff = self._group_inputs(items)
+        teacher_fn, student_fn = self._get_split(eff)
+
+        poss, tposs = [], []
+        for it in items:
+            T = it["frames"].shape[0]
+            pos = np.arange(0, T, m)
+            if pos[-1] != T - 1:
+                pos = np.append(pos, T - 1)
+            tsel = np.arange(0, len(pos), k)
+            if tsel[-1] != len(pos) - 1:
+                tsel = np.append(tsel, len(pos) - 1)
+            poss.append(pos)
+            tposs.append(pos[tsel])
+
+        # pass A: teacher features, chunks shared across videos
+        t_specs = [(buf, tpos, [glob])
+                   for buf, tpos, glob in zip(bufs, tposs, globs)]
+        t_outs = self._run_group_chunks(teacher_fn, t_specs)
+        t_all = jnp.concatenate([o[:n] for o, n in t_outs], axis=0)
+
+        extras = []
+        s = 0
+        for tpos, pos in zip(tposs, poss):
+            t_v = t_all[s:s + len(tpos)]
+            s += len(tpos)
+            extras.append(_lerp_rows(tpos, t_v, pos))
+
+        # pass B: student + loss, chunks shared across videos
+        s_specs = [(buf, pos, [loc])
+                   for buf, pos, loc in zip(bufs, poss, locs)]
+        outs = self._run_group_chunks(student_fn, s_specs, extra=extras)
+        gf = _GroupFetch(outs)
+        handles, s = [], 0
+        for it, pos in zip(items, poss):
+            T = it["frames"].shape[0]
+            post = (None if m == 1 else
+                    (lambda T_, pos_: lambda losses: np.interp(
+                        np.arange(T_), pos_, losses))(T, pos))
+            handles.append(PendingScore([], group=(gf, s, s + len(pos)),
+                                        post=post))
+            s += len(pos)
+        return handles
+
     def dummy_losses(self) -> np.ndarray:
         """Constant-loss protocol for corrupt / size-mismatched videos:
         the reference scores global_size pairs of all-zero (3, 60, 224, 224)
@@ -515,25 +724,49 @@ class FrameScorer:
         return self.score_item_async(item).fetch()
 
 
+class _GroupFetch:
+    """One-shot fetch of a video group's shared chunk outputs: the first
+    PendingScore.fetch() pulls every chunk (one sync for the whole group),
+    later videos slice the cached host array."""
+
+    def __init__(self, outs: List[tuple]):
+        self._outs = outs
+        self._arr: Optional[np.ndarray] = None
+
+    def get(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = _fetch_outs(self._outs)
+            self._outs = []  # release device references
+        return self._arr
+
+
 class PendingScore:
     """Handle to a video's queued scoring dispatches.
 
     ``outs`` is the [(device_array, n_valid)] chunk list; ``fetch()`` blocks
     on the device stream, concatenates the valid rows, applies the optional
     host post-processing (score-stride interpolation) and returns float64
-    losses. ``ready`` short-circuits for host-computed results (dummies).
+    losses. ``ready`` short-circuits for host-computed results (dummies);
+    ``group`` = (_GroupFetch, start, end) slices a cross-video batch's
+    shared output rows instead.
     """
 
     def __init__(self, outs: List[tuple], post=None,
-                 ready: Optional[np.ndarray] = None):
+                 ready: Optional[np.ndarray] = None,
+                 group: Optional[tuple] = None):
         self._outs = outs
         self._post = post
         self._ready = ready
+        self._group = group
 
     def fetch(self) -> np.ndarray:
         if self._ready is not None:
             return np.asarray(self._ready, np.float64)
-        losses = _fetch_outs(self._outs)
+        if self._group is not None:
+            gf, s, e = self._group
+            losses = gf.get()[s:e]
+        else:
+            losses = _fetch_outs(self._outs)
         if self._post is not None:
             losses = self._post(losses)
         return losses.astype(np.float64)
@@ -598,6 +831,7 @@ def run_scoring(
     num_shards: int = 1,
     log_every: int = 1,
     pipeline_depth: int = 2,
+    group_videos: int = 8,
 ) -> None:
     """Iterate the scoring dataset with host prefetch, exporting per video.
 
@@ -615,17 +849,42 @@ def run_scoring(
 
     idx = shard_indices(len(dataset), shard_id, num_shards)
     loader = PrefetchLoader(dataset, indices=idx, num_workers=num_workers)
-    pending: List[tuple] = []  # (path, PendingScore)
 
-    def flush_one():
-        path, handle = pending.pop(0)
-        export_loss(handle.fetch(), path, file_path)
+    # Videos are batched into GROUPS whose chunks are shared across video
+    # boundaries (score_group_async): short-clip corpora otherwise waste up
+    # to half of every teacher dispatch on padding. Group size is bounded
+    # by the resident-piece budget (two groups are in flight at once, so
+    # each gets half); ``pipeline_depth`` groups stay queued while older
+    # groups fetch/export, keeping the device busy across the host syncs.
+    budget = MAX_RESIDENT_PIECES // 2
+    pending_groups: List[List[tuple]] = []
+    group: List[dict] = []
+    group_pieces = 0
+
+    def drain_to(depth: int):
+        while len(pending_groups) > depth:
+            for path, handle in pending_groups.pop(0):
+                export_loss(handle.fetch(), path, file_path)
+
+    def flush_group():
+        nonlocal group, group_pieces
+        if not group:
+            return
+        handles = scorer.score_group_async(group)
+        pending_groups.append(
+            [(it["path"], h) for it, h in zip(group, handles)])
+        group, group_pieces = [], 0
+        drain_to(max(1, pipeline_depth))
 
     for i, item in enumerate(loader):
         if log_every and i % log_every == 0:
             print(f"{i + 1} / {len(idx)}", flush=True)
-        pending.append((item["path"], scorer.score_item_async(item)))
-        while len(pending) > pipeline_depth:
-            flush_one()
-    while pending:
-        flush_one()
+        n_p = (0 if item["dummy"]
+               else -(-item["frames"].shape[0] // scorer.piece))
+        if group and (len(group) >= group_videos
+                      or group_pieces + n_p > budget):
+            flush_group()
+        group.append(item)
+        group_pieces += n_p
+    flush_group()
+    drain_to(0)
