@@ -195,7 +195,7 @@ def main():
     # warmup / compile
     scorer.score_video(frames[:64], loc[:64], glob[:64], eff)
 
-    best = 0.0
+    rates = []
     for r in range(args.repeats):
         if args.profile and r == args.repeats - 1:
             jax.profiler.start_trace(args.profile)
@@ -205,7 +205,9 @@ def main():
         if args.profile and r == args.repeats - 1:
             jax.profiler.stop_trace()
         assert np.isfinite(out).all()
-        best = max(best, T / dt)
+        rates.append(T / dt)
+    best = max(rates)
+    median = float(np.median(rates))
 
     # wire diagnostic: host->device bandwidth bounds end-to-end throughput
     # at wire_mb_s / frame_mb regardless of compute (the bench tunnel runs
@@ -226,21 +228,44 @@ def main():
     if not args.no_e2e:
         videos_per_min = _e2e_videos_per_min(scorer)
 
+    # exact-mode companion measurement (one flagged run) so the driver
+    # telemetry carries BOTH modes' trajectories, not just the turbo
+    # headline (VERDICT r2 weak #4)
+    exact_fps = None
+    if args.mode == "turbo" and not args.no_e2e:
+        ex_scorer = FrameScorer(params, cfg, chunk=16,
+                                compute_dtype=jnp.bfloat16, precision=None)
+        ex_scorer.score_video(frames[:64], loc[:64], glob[:64], eff)
+        ex_rates = []
+        for _ in range(2):
+            t0 = time.time()
+            out = ex_scorer.score_video(frames, loc, glob, eff)
+            ex_rates.append(T / (time.time() - t0))
+        exact_fps = max(ex_rates)
+
     flops_per_frame = scoring_flops_per_frame(
         cfg, local_size=3, eff_global=eff, global_subsample=subsample,
         teacher_stride=t_stride, score_stride=s_stride, teacher_img=t_img)
     achieved = best * flops_per_frame
+    wire_ceiling = wire_mb_s / frame_mb
     result = {
         "metric": f"frames scored/sec/chip (TimeSformer ViT-B, {args.mode})",
         "value": round(best, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(best / 1000.0, 4),
+        "value_median": round(median, 2),
         "tflop_per_frame": round(flops_per_frame / 1e12, 4),
         "achieved_tflops": round(achieved / 1e12, 2),
         "mfu_vs_v5e_bf16_peak": round(achieved / V5E_PEAK_BF16, 4),
         "wire_mb_per_s": round(wire_mb_s, 1),
-        "wire_ceiling_fps": round(wire_mb_s / frame_mb, 1),
+        "wire_ceiling_fps": round(wire_ceiling, 1),
+        # the tunnel's host->device wire swings ~7-37 MB/s run to run; when
+        # its ceiling comes within 1.5x of the measured rate, the number is
+        # (partly) a wire measurement, not a compute one
+        "wire_bound": bool(wire_ceiling < 1.5 * best),
     }
+    if exact_fps is not None:
+        result["exact_fps"] = round(exact_fps, 2)
     if videos_per_min is not None:
         result["videos_per_min_e2e"] = round(videos_per_min, 1)
     if not args.all_metrics:
