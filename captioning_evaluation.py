@@ -82,8 +82,14 @@ def main(selection_method="adaptive", video_tag=None, args=None):
           else "(unavailable)")
     print("BERT", bert if bert is not None else "(no local BERT model)")
     print("CIDEr", cider)
-    return {"bleu": bleu["bleu"], "meteor": meteor,
-            "meteor_method": meteor_method, "bert": bert, "cider": cider}
+    result = {"bleu": bleu["bleu"], "meteor": meteor,
+              "meteor_method": meteor_method, "bert": bert, "cider": cider}
+    if getattr(args, "output_json", ""):
+        import json
+
+        with open(args.output_json, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
 
 
 if __name__ == "__main__":
@@ -97,5 +103,7 @@ if __name__ == "__main__":
     p.add_argument("--bert_model", default="", type=str,
                    help="local HF encoder dir for BERTScore")
     p.add_argument("--video_tag", default=None, type=str)
+    p.add_argument("--output_json", default="", type=str,
+                   help="also write the metric dict to this JSON path")
     a = p.parse_args()
     main(a.selection_method, a.video_tag, args=a)
