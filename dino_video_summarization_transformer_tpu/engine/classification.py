@@ -14,6 +14,7 @@ import json
 import logging
 import math
 import os
+import time
 from functools import partial
 from typing import Optional
 
@@ -140,11 +141,16 @@ def finetune(
     num_workers: int = 4,
     compute_dtype=jnp.float32,
     max_steps_per_epoch: int = 0,
+    log_every: int = 500,
 ):
     """Supervised finetune of the classification model on selected frames
     (ref: timesformer_finetuning.py:61-104). Mirrors HF Trainer defaults:
-    AdamW, linear warmup->linear decay, per-epoch eval, log history JSON.
-    Returns (params, log_history).
+    AdamW, linear warmup->linear decay, per-epoch eval, log history JSON
+    whose entries carry the HF Trainer key sets (loss/learning_rate/epoch/
+    step and eval_loss/eval_runtime/eval_samples_per_second/
+    eval_steps_per_second/epoch/step — the schema of the reference's
+    committed eval_logs/training_log_history.json). Returns
+    (params, log_history).
     """
     import optax
 
@@ -182,6 +188,8 @@ def finetune(
 
     log_history = []
     step = 0
+    t_train = time.time()
+    loss_sum = 0.0
     for epoch in range(num_epochs):
         loader = PrefetchLoader(train_dataset, num_workers=num_workers,
                                 batch_size=batch_size, collate=collate)
@@ -191,11 +199,15 @@ def finetune(
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(x), jnp.asarray(y))
             step += 1
-            if step % 500 == 0:
-                log_history.append({"loss": float(loss), "step": step,
-                                    "epoch": epoch + it / steps_per_epoch})
+            loss_sum += float(loss)
+            if log_every and step % log_every == 0:
+                log_history.append({
+                    "loss": float(loss),
+                    "learning_rate": float(sched(step)),
+                    "epoch": epoch + it / steps_per_epoch, "step": step})
         # per-epoch eval (evaluation_strategy="epoch")
         eval_losses = []
+        t_eval = time.time()
         vloader = PrefetchLoader(val_dataset, num_workers=num_workers,
                                  batch_size=batch_size, collate=collate)
         for x, y in vloader:
@@ -203,11 +215,31 @@ def finetune(
                 continue
             eval_losses.append(float(eval_loss_fn(
                 params, jnp.asarray(x), jnp.asarray(y))))
+        eval_runtime = max(time.time() - t_eval, 1e-9)
         log_history.append({
             "eval_loss": float(np.mean(eval_losses)) if eval_losses else math.nan,
+            "eval_runtime": eval_runtime,
+            "eval_samples_per_second": len(eval_losses) * batch_size
+            / eval_runtime,
+            "eval_steps_per_second": len(eval_losses) / eval_runtime,
             "epoch": epoch + 1.0, "step": step})
         print(f"epoch {epoch + 1}: eval_loss="
               f"{log_history[-1]['eval_loss']:.4f}", flush=True)
+
+    # HF Trainer's end-of-train summary entry (the third key set in the
+    # reference's committed log); total_flos uses the standard fwd+bwd ~=
+    # 3x forward accounting
+    from ..utils.flops import timesformer_forward_flops
+
+    train_runtime = max(time.time() - t_train, 1e-9)
+    log_history.append({
+        "train_loss": loss_sum / max(step, 1),
+        "train_runtime": train_runtime,
+        "train_samples_per_second": step * batch_size / train_runtime,
+        "train_steps_per_second": step / train_runtime,
+        "total_flos": 3.0 * timesformer_forward_flops(
+            model_cfg, model_cfg.num_frames) * batch_size * step,
+        "epoch": float(num_epochs), "step": step})
 
     with open(os.path.join(output_dir, "training_log_history.json"), "w") as f:
         json.dump(log_history, f)

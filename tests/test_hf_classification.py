@@ -1,5 +1,7 @@
 """HF Timesformer converter parity + classification engine tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -95,3 +97,75 @@ def test_finetune_smoke(tmp_path):
                             num_workers=1)
     assert any("eval_loss" in e for e in hist)
     assert (tmp_path / "training_log_history.json").exists()
+
+
+@pytest.mark.slow
+def test_finetune_loss_trajectory(tmp_path):
+    """Multi-epoch finetune on a LEARNABLE synthetic selected-frame set:
+    eval loss must decrease epoch-over-epoch, and the emitted
+    training_log_history.json must be key-set compatible with the
+    reference's committed eval_logs/training_log_history.json (its
+    1.555 -> 1.43 trend is the only committed training oracle;
+    ref: timesformer_finetuning.py:61-104)."""
+    import json
+
+    import jax
+
+    from dino_video_summarization_transformer_tpu.engine.classification import (
+        finetune)
+    from dino_video_summarization_transformer_tpu.models import (
+        init_timesformer)
+
+    jcfg = TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=48, depth=2, num_heads=4,
+        num_frames=2, num_classes=3)
+    params = init_timesformer(jax.random.key(0), jcfg)
+
+    # class-conditional means: label k shifts channel k by +/-1 — linearly
+    # separable from the patch embedding, so a working AdamW step must
+    # drive eval loss below ln(3)
+    rng = np.random.RandomState(0)
+
+    class DS:
+        def __init__(self, n, seed):
+            self.n = n
+            self.rng = np.random.RandomState(seed)
+            self.labels = self.rng.randint(0, 3, n)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            y = int(self.labels[i])
+            x = 0.3 * self.rng.randn(2, 3, 32, 32).astype(np.float32)
+            x[:, y] += 1.0
+            return {"pixel_values": x, "label": y}
+
+    params, hist = finetune(
+        DS(48, 1), DS(24, 2), params, jcfg, str(tmp_path), num_epochs=3,
+        batch_size=8, lr=1e-3, warmup_steps=3, num_workers=0, log_every=2)
+
+    evals = [e["eval_loss"] for e in hist if "eval_loss" in e]
+    assert len(evals) == 3
+    assert evals[-1] < evals[0], evals
+    assert evals[-1] < np.log(3.0), evals  # better than chance
+
+    # schema compatibility with the reference's committed artifact
+    with open(tmp_path / "training_log_history.json") as f:
+        ours = json.load(f)
+    ref_path = "/root/reference/eval_logs/training_log_history.json"
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        ref_train = next(k for k in map(frozenset, ref) if "loss" in k)
+        ref_eval = next(k for k in map(frozenset, ref) if "eval_loss" in k)
+        ref_summary = next(k for k in map(frozenset, ref)
+                           if "train_loss" in k)
+        train_keys = [frozenset(e) for e in ours if "loss" in e]
+        eval_keys = [frozenset(e) for e in ours if "eval_loss" in e]
+        summary_keys = [frozenset(e) for e in ours if "train_loss" in e]
+        assert train_keys and all(k == ref_train for k in train_keys), (
+            train_keys, ref_train)
+        assert eval_keys and all(k == ref_eval for k in eval_keys), (
+            eval_keys, ref_eval)
+        assert summary_keys == [ref_summary], (summary_keys, ref_summary)
