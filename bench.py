@@ -38,14 +38,18 @@ import time
 
 MODES = {
     # mode -> (dtype, precision, global_subsample, teacher_stride,
-    #          score_stride, teacher_img)
-    "exact": ("bf16", None, 1, 1, 1, 0),
-    "exact-f32": ("f32", "highest", 1, 1, 1, 0),
-    "turbo": ("bf16", None, 1, 4, 1, 0),
+    #          score_stride, teacher_img, teacher_interp)
+    "exact": ("bf16", None, 1, 1, 1, 0, "linear"),
+    "exact-f32": ("f32", "highest", 1, 1, 1, 0, "linear"),
+    "turbo": ("bf16", None, 1, 4, 1, 0, "linear"),
+    # turbo2: teacher stride 8 with Catmull-Rom (cubic) CLS interpolation —
+    # the curvature term is what k=8+linear was missing (quality table in
+    # BENCH.md / eval_logs/fast_scoring_validation.json)
+    "turbo2": ("bf16", None, 1, 8, 1, 0, "catmullrom"),
     # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
-    "turbo-max": ("bf16", None, 1, 4, 4, 0),
+    "turbo-max": ("bf16", None, 1, 4, 4, 0, "linear"),
 }
 
 
@@ -145,7 +149,7 @@ def main():
     args = p.parse_args()
 
     (dtype_name, precision, subsample, t_stride, s_stride,
-     t_img) = MODES[args.mode]
+     t_img, t_interp) = MODES[args.mode]
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -174,7 +178,7 @@ def main():
     scorer = FrameScorer(params, cfg, chunk=args.chunk, compute_dtype=dtype,
                          precision=precision, global_subsample=subsample,
                          teacher_stride=t_stride, score_stride=s_stride,
-                         teacher_img=t_img)
+                         teacher_img=t_img, teacher_interp=t_interp)
 
     T = args.frames
     if args.wire == "yuv420":

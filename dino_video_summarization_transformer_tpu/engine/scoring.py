@@ -135,6 +135,7 @@ class FrameScorer:
         teacher_stride: int = 1,
         score_stride: int = 1,
         teacher_img: int = 0,
+        teacher_interp: str = "linear",
         use_pallas: str | bool = "auto",
         piece: int = PIECE,
     ):
@@ -172,6 +173,13 @@ class FrameScorer:
         self.global_subsample = max(1, int(global_subsample))
         self.teacher_stride = max(1, int(teacher_stride))
         self.score_stride = max(1, int(score_stride))
+        # teacher_interp: how teacher CLS features are reconstructed at
+        # non-teacher positions ("linear" or "catmullrom"). Catmull-Rom
+        # buys deeper strides (k=8) the curvature that piecewise-linear
+        # misses; quality quantified in BENCH.md.
+        if teacher_interp not in ("linear", "catmullrom"):
+            raise ValueError(f"teacher_interp={teacher_interp!r}")
+        self.teacher_interp = teacher_interp
         # teacher_img r > 0: the teacher's global windows are bilinearly
         # resized to r x r ON DEVICE before the teacher forward (the model
         # interpolates its positional grid to the new geometry).
@@ -463,7 +471,7 @@ class FrameScorer:
         # interpolate teacher features to every scored position — on
         # device, from host-precomputed gather indices/weights, so pass B
         # can be queued without waiting for pass A's results
-        t_at_pos = _lerp_rows(tpos, t_feats, pos)
+        t_at_pos = _interp_rows(tpos, t_feats, pos, self.teacher_interp)
 
         # pass B: student forwards + loss at every scored position
         buf_b = buf if resident else self._make_buffer(frames)
@@ -666,7 +674,7 @@ class FrameScorer:
         for tpos, pos in zip(tposs, poss):
             t_v = t_all[s:s + len(tpos)]
             s += len(tpos)
-            extras.append(_lerp_rows(tpos, t_v, pos))
+            extras.append(_interp_rows(tpos, t_v, pos, self.teacher_interp))
 
         # pass B: student + loss, chunks shared across videos
         s_specs = [(buf, pos, [loc])
@@ -779,6 +787,65 @@ def _fetch_outs(outs: List[tuple]) -> np.ndarray:
 def _with_matmul_precision(precision, fn, *args):
     with jax.default_matmul_precision(precision):
         return fn(*args)
+
+
+def _interp_rows(xp: np.ndarray, rows, x: np.ndarray,
+                 kind: str = "linear"):
+    """Row-wise interpolation dispatcher for the teacher-feature hand-off:
+    ``linear`` (default, the validated turbo mode) or ``catmullrom``
+    (cubic Catmull-Rom, for deeper teacher strides where the piecewise-
+    linear error dominates — BENCH.md quality table)."""
+    if kind == "linear":
+        return _lerp_rows(xp, rows, x)
+    if kind == "catmullrom":
+        return _catmull_rom_rows(xp, rows, x)
+    raise ValueError(f"unknown teacher_interp {kind!r}")
+
+
+def _catmull_rom_rows(xp: np.ndarray, rows, x: np.ndarray):
+    """Row-wise cubic Catmull-Rom interpolation on (possibly non-uniform)
+    knots: rows (len(xp), D) sampled at xp, evaluated at x within
+    [xp[0], xp[-1]]. Returns (len(x), D).
+
+    Tangents are the standard finite-difference Catmull-Rom choice
+    m_j = (y[j+1]-y[j-1])/(x[j+1]-x[j-1]) (one-sided at the ends), so the
+    curve passes through every knot and is C1. The evaluation is expressed
+    as 4 host-precomputed gathers + weights over the knot rows — with a
+    device ``rows`` the whole thing rides the dispatch stream, exactly
+    like _lerp_rows."""
+    on_device = isinstance(rows, jnp.ndarray)
+    xp = np.asarray(xp, np.float64)
+    n = len(xp)
+    if n < 3:
+        return _lerp_rows(xp, rows, x)
+    j = np.searchsorted(xp, x, side="right") - 1
+    j = np.clip(j, 0, n - 2)
+    h = xp[j + 1] - xp[j]
+    t = np.clip((np.asarray(x, np.float64) - xp[j]) / np.maximum(h, 1e-12),
+                0.0, 1.0)
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2 * t3 - 3 * t2 + 1
+    h10 = t3 - 2 * t2 + t
+    h01 = -2 * t3 + 3 * t2
+    h11 = t3 - t2
+    # m_j over rows[j-1], rows[j+1]; one-sided at the first knot
+    jm1 = np.maximum(j - 1, 0)
+    span_l = xp[j + 1] - xp[jm1]
+    # m_{j+1} over rows[j], rows[j+2]; one-sided at the last knot
+    jp2 = np.minimum(j + 2, n - 1)
+    span_r = xp[jp2] - xp[j]
+    cl = h10 * h / np.maximum(span_l, 1e-12)
+    cr = h11 * h / np.maximum(span_r, 1e-12)
+    w = np.stack([-cl, h00 - cr, h01 + cl, cr], axis=1)  # (len(x), 4)
+    idx = np.stack([jm1, j, j + 1, jp2], axis=1)  # (len(x), 4)
+    w = w.astype(np.float32)
+    if on_device:
+        wj = jnp.asarray(w).astype(rows.dtype)
+        g = rows[jnp.asarray(idx)]  # (len(x), 4, D)
+        return jnp.einsum("pk,pkd->pd", wj, g)
+    g = np.asarray(rows)[idx]
+    return np.einsum("pk,pkd->pd", w.astype(rows.dtype), g)
 
 
 def _lerp_rows(xp: np.ndarray, rows, x: np.ndarray):

@@ -18,7 +18,7 @@ from dino_video_summarization_transformer_tpu.data.selection import (
 from dino_video_summarization_transformer_tpu.data.windows import (
     window_indices)
 from dino_video_summarization_transformer_tpu.engine.scoring import (
-    FrameScorer, _lerp_rows)
+    FrameScorer, _catmull_rom_rows, _interp_rows, _lerp_rows)
 
 REF_LOSS_JSON = "/root/reference/loss_values/loss_msvd_4_3_30.json"
 
@@ -126,6 +126,51 @@ def test_lerp_rows():
     np.testing.assert_allclose(out[-1], rows[-1])
     single = _lerp_rows(np.array([5]), rows[:1], np.array([0, 9]))
     np.testing.assert_allclose(single, np.repeat(rows[:1], 2, 0))
+
+
+def test_catmull_rom_rows():
+    rng = np.random.RandomState(0)
+    xp = np.array([0, 4, 8, 12, 15])
+    rows = rng.randn(5, 7).astype(np.float32)
+    # passes through every knot
+    np.testing.assert_allclose(_catmull_rom_rows(xp, rows, xp), rows,
+                               atol=1e-5)
+    # beats linear on smooth (curved) feature trajectories — the regime
+    # teacher CLS features live in (BENCH.md: 29/30-frame window overlap)
+    x_dense = np.arange(16)
+    f = lambda x: np.stack([np.sin(x / 5.0), (x / 15.0) ** 2,
+                            np.cos(x / 7.0)], 1)
+    truth = f(x_dense.astype(np.float64))
+    e_cr = np.abs(_catmull_rom_rows(xp, f(xp.astype(np.float64)), x_dense)
+                  - truth).max()
+    e_li = np.abs(_lerp_rows(xp, f(xp.astype(np.float64)), x_dense)
+                  - truth).max()
+    assert e_cr < 0.35 * e_li, (e_cr, e_li)
+    # <3 knots falls back to linear; device path matches host path
+    two = _interp_rows(np.array([0, 9]), rows[:2], np.array([0, 3, 9]),
+                       "catmullrom")
+    np.testing.assert_allclose(
+        two, _lerp_rows(np.array([0, 9]), rows[:2], np.array([0, 3, 9])))
+    import jax.numpy as jnp
+
+    dev = _catmull_rom_rows(xp, jnp.asarray(rows), x_dense)
+    np.testing.assert_allclose(np.asarray(dev),
+                               _catmull_rom_rows(xp, rows, x_dense),
+                               atol=1e-5)
+
+
+def test_teacher_interp_catmullrom_close_to_dense_teacher(tiny_setup):
+    """k=4+catmullrom must track exact scores at least as well as
+    k=4+linear on the synthetic validator video (the full-size claim is
+    measured by tools/validate_fast_scoring.py on the TPU)."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    li = scorer(teacher_stride=4).score_video(vid, loc, glob, eff)
+    cr = scorer(teacher_stride=4,
+                teacher_interp="catmullrom").score_video(vid, loc, glob, eff)
+    err_li = np.abs(li - exact).mean() / np.abs(exact).mean()
+    err_cr = np.abs(cr - exact).mean() / np.abs(exact).mean()
+    assert err_cr <= err_li * 1.25, (err_cr, err_li)
+    assert _spearman(cr, exact) > 0.9
 
 
 @pytest.mark.skipif(not os.path.exists(REF_LOSS_JSON),
