@@ -145,6 +145,42 @@ def _match_stage(enum_hyp: list, enum_ref: list, key) -> list:
     return matches
 
 
+def _synonym_stage(enum_hyp: list, enum_ref: list, synonyms) -> list:
+    """One METEOR wordnet-synonym alignment stage (the nltk
+    ``_enum_wordnetsyn_match`` rule): scan hypothesis tokens right-to-left;
+    each matches the rightmost unmatched reference token whose surface form
+    is in the hypothesis token's synonym set (which always includes the
+    token itself). ``synonyms`` maps a lowercase token to an iterable of
+    lemma names — any synonym source plugs in (nltk wordnet, a domain
+    lexicon); the ALGORITHM is nltk's, only the corpus is external."""
+    matches = []
+    for i in range(len(enum_hyp))[::-1]:
+        w = enum_hyp[i][1]
+        syns = set(synonyms(w)) | {w}
+        for j in range(len(enum_ref))[::-1]:
+            if enum_ref[j][1] in syns:
+                matches.append((enum_hyp[i][0], enum_ref[j][0]))
+                enum_hyp.pop(i)
+                enum_ref.pop(j)
+                break
+    return matches
+
+
+def wordnet_synonym_fn(wordnet):
+    """Adapt an nltk-wordnet-like corpus object (``synsets(word)`` →
+    synsets with ``lemmas()`` → lemmas with ``name()``) into the
+    ``synonyms`` callable of :func:`meteor_single` — the exact lemma-name
+    set nltk's METEOR uses (multiword "_" lemmas excluded)."""
+    def synonyms(word: str):
+        return {
+            lemma.name()
+            for synset in wordnet.synsets(word)
+            for lemma in synset.lemmas()
+            if "_" not in lemma.name()
+        }
+    return synonyms
+
+
 def _count_chunks(matches: list) -> int:
     chunks = 1
     for i in range(len(matches) - 1):
@@ -156,18 +192,30 @@ def _count_chunks(matches: list) -> int:
 
 
 def meteor_single(hypothesis: List[str], reference: List[str], stem=None,
-                  alpha: float = 0.9, beta: float = 3.0,
+                  synonyms=None, alpha: float = 0.9, beta: float = 3.0,
                   gamma: float = 0.5) -> float:
-    """METEOR sentence score (Banerjee & Lavie), exact + stem stages —
-    the nltk ``single_meteor_score`` algorithm minus the wordnet-synonym
-    stage (this offline image has no wordnet corpus; exact/stem matching
-    needs no data files). ``stem`` is a token->stem callable or None."""
+    """METEOR sentence score (Banerjee & Lavie) — the full nltk
+    ``single_meteor_score`` algorithm: exact, stem, and synonym alignment
+    stages (parity-tested against nltk stage by stage in
+    tests/test_caption_metrics.py). ``stem`` is a token->stem callable or
+    None; ``synonyms`` is a token->lemma-name-set callable or None (this
+    offline image has no wordnet corpus, so the production fallback runs
+    synonym-free — a strict lower bound; any synonym source plugs in via
+    :func:`wordnet_synonym_fn`)."""
     enum_hyp = list(enumerate(w.lower() for w in hypothesis))
     enum_ref = list(enumerate(w.lower() for w in reference))
     t_len, r_len = len(enum_hyp), len(enum_ref)
     matches = _match_stage(enum_hyp, enum_ref, lambda w: w)
     if stem is not None:
         matches += _match_stage(enum_hyp, enum_ref, stem)
+    if synonyms is not None:
+        if stem is not None:
+            # nltk quirk, kept for parity: its stem stage hands the
+            # synonym stage STEMMED leftovers, so synset lookups and
+            # reference comparisons run on stems ("slices" -> "slice")
+            enum_hyp = [(i, stem(w)) for i, w in enum_hyp]
+            enum_ref = [(j, stem(w)) for j, w in enum_ref]
+        matches += _synonym_stage(enum_hyp, enum_ref, synonyms)
     matches.sort(key=lambda pair: pair[0])
     m = len(matches)
     if m == 0 or t_len == 0 or r_len == 0:
@@ -188,12 +236,17 @@ def _porter_stemmer():
         return None
 
 
-def meteor_score_safe(predictions: List[str], references: List[List[str]]):
+def meteor_score_safe(predictions: List[str], references: List[List[str]],
+                      synonyms=None):
     """Mean METEOR over the corpus (ref: captioning_evaluation.py:101-103
     calls HF evaluate's "meteor", which wraps nltk). When the wordnet
     corpus is available the full nltk scorer runs; otherwise the native
-    exact+stem scorer above (same algorithm, no synonym stage — scores are
-    a strict lower bound of full METEOR). Returns (score, method)."""
+    scorer above — the same algorithm, with the synonym stage driven by
+    the optional ``synonyms`` callable (token -> lemma-name set, e.g.
+    :func:`wordnet_synonym_fn` over any wordnet-like corpus) and skipped
+    when none is given (scores are then a strict lower bound of full
+    METEOR; the delta is quantified in tests/test_caption_metrics.py).
+    Returns (score, method)."""
     try:
         import nltk
         from nltk.translate.meteor_score import meteor_score
@@ -211,14 +264,15 @@ def meteor_score_safe(predictions: List[str], references: List[List[str]]):
         pass
     stem = _porter_stemmer()
     scores = [
-        max(meteor_single(pred.split(), r.split(), stem=stem) for r in refs)
+        max(meteor_single(pred.split(), r.split(), stem=stem,
+                          synonyms=synonyms) for r in refs)
         if refs else 0.0
         for pred, refs in zip(predictions, references)
     ]
     if not scores:
         return None, "unavailable"
-    method = "native exact+stem" if stem else "native exact"
-    return sum(scores) / len(scores), method
+    stages = ("exact+stem" if stem else "exact") + ("+syn" if synonyms else "")
+    return sum(scores) / len(scores), f"native {stages}"
 
 
 def bertscore_safe(predictions: List[str], references: List[List[str]],

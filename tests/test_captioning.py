@@ -83,6 +83,121 @@ def test_meteor_score_safe_native_fallback():
     assert score == pytest.approx(1.0 - 0.5 / 216.0, abs=1e-9)
 
 
+class _FakeLemma:
+    def __init__(self, n):
+        self._n = n
+
+    def name(self):
+        return self._n
+
+
+class _FakeSynset:
+    def __init__(self, names):
+        self._l = [_FakeLemma(n) for n in names]
+
+    def lemmas(self):
+        return self._l
+
+
+class _FakeWordnet:
+    """Minimal wordnet-corpus stand-in (synsets -> lemmas -> name), enough
+    for both nltk's METEOR and wordnet_synonym_fn. Caption-domain synsets,
+    including a multiword lemma (excluded by the '_' rule) and overlapping
+    synsets."""
+
+    SYNSETS = {
+        "man": [["man", "adult_male"], ["man", "guy", "gentleman"]],
+        "guy": [["guy", "man"]],
+        # stem-form keys: METEOR's synonym stage runs on STEMMED leftovers
+        # (nltk quirk, reproduced for parity), so "cuts"/"slices" arrive
+        # as "cut"/"slice"
+        "cut": [["cut", "slice"]],
+        "slice": [["slice", "cut"]],
+        "bread": [["bread", "loaf"]],
+        "loaf": [["loaf", "bread"], ["loaf", "idle_about"]],
+        "quickly": [["quickly", "rapidly", "fast"]],
+        "kid": [["kid", "child", "youngster"]],
+        "sofa": [["sofa", "couch"]],
+    }
+
+    def synsets(self, word):
+        return [_FakeSynset(ns) for ns in self.SYNSETS.get(word, [])]
+
+
+def test_meteor_synonym_stage_parity_with_nltk():
+    """Full 3-stage parity: native exact+stem+synonym METEOR must equal
+    nltk's single_meteor_score driven by the same (stub) wordnet corpus —
+    nltk takes the corpus as a parameter, so the complete algorithm is
+    testable without the wordnet data files this image lacks."""
+    pytest.importorskip("nltk")
+    from nltk.stem.porter import PorterStemmer
+    from nltk.translate.meteor_score import single_meteor_score
+
+    from dino_video_summarization_transformer_tpu.engine.caption_metrics import (
+        meteor_single, wordnet_synonym_fn)
+
+    wn = _FakeWordnet()
+    syn = wordnet_synonym_fn(wn)
+    stem = PorterStemmer().stem
+    pairs = [
+        # pure synonym substitutions (no exact/stem route)
+        ("a guy cuts a loaf", "a man slices a bread"),
+        # synonym + stem + exact mixed, different lengths
+        ("the kid runs quickly to the sofa",
+         "a child ran fast toward the couch"),
+        # duplicate surface forms competing for the same synonym
+        ("a man and a guy", "a man and a man"),
+        ("man man guy", "guy man"),
+        # no synonyms at all
+        ("completely unrelated words", "a cat sat on the mat"),
+        ("a man slices bread", "a man slices bread"),
+    ]
+    rng = np.random.RandomState(0)
+    vocab = ["man", "guy", "cuts", "slices", "bread", "loaf", "a", "the",
+             "kid", "child", "sofa", "couch", "quickly", "fast", "runs"]
+    pairs += [(" ".join(rng.choice(vocab, rng.randint(3, 12))),
+               " ".join(rng.choice(vocab, rng.randint(3, 12))))
+              for _ in range(25)]
+    for pred, ref in pairs:
+        expected = single_meteor_score(ref.split(), pred.split(), wordnet=wn)
+        got = meteor_single(pred.split(), ref.split(), stem=stem,
+                            synonyms=syn)
+        assert got == pytest.approx(expected, abs=1e-12), (pred, ref)
+
+
+def test_meteor_synonym_free_divergence_quantified():
+    """Quantify what the wordnet-free production fallback gives up: on a
+    synonym-rich caption corpus the synonym stage adds a bounded, strictly
+    non-negative delta (scores lacking the stage are a LOWER bound, never
+    a different ranking direction). Measured here so the divergence is a
+    number, not a disclaimer."""
+    pytest.importorskip("nltk")
+    from dino_video_summarization_transformer_tpu.engine.caption_metrics import (
+        meteor_score_safe, wordnet_synonym_fn)
+
+    syn = wordnet_synonym_fn(_FakeWordnet())
+    preds = ["a guy cuts a loaf",
+             "the kid runs quickly to the sofa",
+             "a man slices a bread in the kitchen",
+             "two dogs run through the park"]
+    refs = [["a man slices a bread"],
+            ["a child ran fast toward the couch"],
+            ["a man cuts a loaf in a kitchen"],
+            ["dogs are running in a park"]]
+    lo, m_lo = meteor_score_safe(preds, refs)
+    hi, m_hi = meteor_score_safe(preds, refs, synonyms=syn)
+    assert m_lo == "native exact+stem" and m_hi == "native exact+stem+syn"
+    # per-sentence monotonicity
+    for p, r in zip(preds, refs):
+        s_lo, _ = meteor_score_safe([p], [r])
+        s_hi, _ = meteor_score_safe([p], [r], synonyms=syn)
+        assert s_hi >= s_lo - 1e-12
+    # this corpus is deliberately synonym-saturated — the delta it shows
+    # (~0.3) is the worst case; exact+stem already matches most tokens of
+    # typical caption pairs, so real-corpora deltas sit far below this
+    assert 0.05 < hi - lo < 0.45, (lo, hi)
+
+
 def test_cider_ranking():
     refs = {
         "v1": ["a dog runs in the park", "a dog is running outside"],
