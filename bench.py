@@ -115,6 +115,13 @@ def _e2e_inner(scorer, d, n_videos, raw_frames, rate, num_frames):
                          scorer.global_size, rate, wire_format="yuv420")
     loss_file = os.path.join(d, "loss.json")
 
+    # untimed warmup pass: compiles every dispatch shape of THIS mode
+    # (stride/group geometries differ between modes, so a mode measured
+    # with a cold persistent cache would otherwise pay one-time compiles
+    # inside the e2e window that a warm mode does not)
+    run_scoring(ds, scorer, os.path.join(d, "warmup.json"),
+                num_workers=2, log_every=0)
+
     t0 = time.time()
     run_scoring(ds, scorer, loss_file, num_workers=2, log_every=0)
     cfg.LOSS_FILE = loss_file

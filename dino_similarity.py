@@ -63,6 +63,12 @@ def get_args_parser():
                         "CLS features linearly interpolated between "
                         "(validated: error below the bf16 noise floor at "
                         "k=4, see BENCH.md)")
+    p.add_argument("--teacher_interp", default="linear",
+                   choices=["linear", "catmullrom"],
+                   help="teacher CLS reconstruction between strided "
+                        "teacher forwards; catmullrom (cubic) sustains "
+                        "deeper strides (turbo2 = k=8 + catmullrom, "
+                        "quality table in BENCH.md)")
     p.add_argument("--score_stride", default=1, type=int,
                    help=">1 = score every m-th frame only, interpolate the "
                         "loss curve between (fastest; selection quality "
@@ -113,7 +119,8 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         chunk=cli.batch_size_per_gpu, compute_dtype=compute_dtype,
         precision="highest" if cli.precision == "float32" else None,
         global_subsample=cli.global_subsample,
-        teacher_stride=cli.teacher_stride, score_stride=cli.score_stride)
+        teacher_stride=cli.teacher_stride, score_stride=cli.score_stride,
+        teacher_interp=cli.teacher_interp)
     approx = cli.global_subsample > 1 or cli.teacher_stride > 1 \
         or cli.score_stride > 1 or cli.wire_format != "rgb8"
     if approx and cli.precision == "float32":

@@ -1,3 +1,3 @@
-from .scoring import FRAME_BUFFER, FrameScorer, export_loss, run_scoring
+from .scoring import FrameScorer, ScorerConfig, export_loss, run_scoring
 
-__all__ = ["FRAME_BUFFER", "FrameScorer", "export_loss", "run_scoring"]
+__all__ = ["FrameScorer", "ScorerConfig", "export_loss", "run_scoring"]

@@ -29,6 +29,7 @@ Numerics: reference-compat mode runs float32 with HIGHEST matmul precision
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from functools import partial
@@ -42,7 +43,6 @@ from ..data import yuv
 from ..models import timesformer as tsf
 from ..train.dino import scoring_dino_loss
 
-FRAME_BUFFER = 512   # retained for API compat; the pipeline is piece-based
 PIECE = 64           # frames per async upload piece
 MAX_INFLIGHT = 16    # outstanding chunk dispatches before draining
 MAX_RESIDENT_PIECES = 48  # ~3072 uint8 224px frames (~460 MB) held on device
@@ -116,6 +116,57 @@ class _PieceBuffer:
                 del self._pieces[j]
 
 
+@dataclasses.dataclass(frozen=True)
+class ScorerConfig:
+    """Every FrameScorer knob, grouped (window geometry, loss temperatures,
+    numerics, approximation levers, kernel dispatch). ``FrameScorer`` also
+    accepts these as plain keyword arguments and builds/overrides a config
+    from them, so call sites pick whichever shape reads better:
+    ``FrameScorer(params, mcfg, teacher_stride=4)`` ==
+    ``FrameScorer(params, mcfg, ScorerConfig(teacher_stride=4))``.
+
+    The three approximation knobs are orthogonal and composable (all = 1
+    -> reference-exact scores). Quality is quantified by
+    tools/validate_fast_scoring.py; see BENCH.md for the measured
+    Spearman / selection-agreement table.
+
+    global_subsample s > 1: the teacher window keeps its +/-15-frame
+      span but samples every s-th frame, e.g. s=4 turns the 30-frame
+      teacher clip into 8 frames — the model's NATIVE temporal extent
+      (no time-embed extrapolation) at ~3.7x less teacher compute.
+
+    teacher_stride k > 1: the teacher forward runs only at every k-th
+      scored frame; intermediate frames get interpolated teacher CLS
+      features (``teacher_interp``: piecewise-linear, or Catmull-Rom —
+      cubic buys deeper strides the curvature linear misses). Valid
+      because consecutive global windows overlap 29/30 frames — the
+      teacher feature curve is smooth in the window position (unlike the
+      per-frame loss itself).
+
+    score_stride m > 1: only every m-th frame is scored at all;
+      intermediate per-frame losses are linearly interpolated (cubic
+      measured WORSE here: the loss curve carries frame-rate noise that
+      cubic overshoot amplifies — tools/validate_fast_scoring.py on the
+      committed reference loss_msvd_4_3_30.json). Trades selection
+      fidelity for throughput much faster than teacher_stride does.
+    """
+
+    local_size: int = 3
+    global_size: int = 30
+    chunk: int = 16
+    teacher_temp: float = 0.02
+    student_temp: float = 0.3
+    compute_dtype: object = jnp.float32
+    precision: Optional[str] = "highest"
+    global_subsample: int = 1
+    teacher_stride: int = 1
+    score_stride: int = 1
+    teacher_img: int = 0
+    teacher_interp: str = "linear"
+    use_pallas: str | bool = "auto"
+    piece: int = PIECE
+
+
 class FrameScorer:
     """Compiled batched scorer for one model + window geometry."""
 
@@ -123,63 +174,31 @@ class FrameScorer:
         self,
         params,
         model_cfg: tsf.TimeSformerConfig,
-        local_size: int = 3,
-        global_size: int = 30,
-        chunk: int = 16,
-        teacher_temp: float = 0.02,
-        student_temp: float = 0.3,
-        compute_dtype=jnp.float32,
-        precision: Optional[str] = "highest",
-        frame_buffer: int = FRAME_BUFFER,
-        global_subsample: int = 1,
-        teacher_stride: int = 1,
-        score_stride: int = 1,
-        teacher_img: int = 0,
-        teacher_interp: str = "linear",
-        use_pallas: str | bool = "auto",
-        piece: int = PIECE,
+        config: Optional[ScorerConfig] = None,
+        **overrides,
     ):
-        # Three approximation knobs, orthogonal and composable (all = 1 ->
-        # reference-exact scores). Quality is quantified by
-        # tools/validate_fast_scoring.py; see BENCH.md for the measured
-        # Spearman / selection-agreement table.
-        #
-        # global_subsample s > 1: the teacher window keeps its +/-15-frame
-        #   span but samples every s-th frame, e.g. s=4 turns the 30-frame
-        #   teacher clip into 8 frames — the model's NATIVE temporal extent
-        #   (no time-embed extrapolation) at ~3.7x less teacher compute.
-        #
-        # teacher_stride k > 1: the teacher forward runs only at every k-th
-        #   scored frame; intermediate frames get linearly interpolated
-        #   teacher CLS features. Valid because consecutive global windows
-        #   overlap 29/30 frames — the teacher feature curve is smooth in
-        #   the window position (unlike the per-frame loss itself).
-        #
-        # score_stride m > 1: only every m-th frame is scored at all;
-        #   intermediate per-frame losses are linearly interpolated. The
-        #   loss curve carries frame-rate noise, so this trades selection
-        #   fidelity for throughput much faster than teacher_stride does —
-        #   measured on the committed reference scores
-        #   (loss_msvd_4_3_30.json) in tests/test_fast_scoring.py.
+        if config is None:
+            config = ScorerConfig(**overrides)
+        elif overrides:
+            config = dataclasses.replace(config, **overrides)
+        self.config = config
         self.model_cfg = model_cfg
-        self.local_size = local_size
-        self.global_size = global_size
-        self.chunk = chunk
-        self.teacher_temp = teacher_temp
-        self.student_temp = student_temp
-        self.compute_dtype = compute_dtype
-        self.precision = precision
-        self.piece = piece
-        self.global_subsample = max(1, int(global_subsample))
-        self.teacher_stride = max(1, int(teacher_stride))
-        self.score_stride = max(1, int(score_stride))
-        # teacher_interp: how teacher CLS features are reconstructed at
-        # non-teacher positions ("linear" or "catmullrom"). Catmull-Rom
-        # buys deeper strides (k=8) the curvature that piecewise-linear
-        # misses; quality quantified in BENCH.md.
-        if teacher_interp not in ("linear", "catmullrom"):
-            raise ValueError(f"teacher_interp={teacher_interp!r}")
-        self.teacher_interp = teacher_interp
+        self.local_size = config.local_size
+        self.global_size = config.global_size
+        self.chunk = config.chunk
+        self.teacher_temp = config.teacher_temp
+        self.student_temp = config.student_temp
+        self.compute_dtype = compute_dtype = config.compute_dtype
+        self.precision = config.precision
+        self.piece = config.piece
+        self.global_subsample = max(1, int(config.global_subsample))
+        self.teacher_stride = max(1, int(config.teacher_stride))
+        self.score_stride = max(1, int(config.score_stride))
+        if config.teacher_interp not in ("linear", "catmullrom"):
+            raise ValueError(f"teacher_interp={config.teacher_interp!r}")
+        self.teacher_interp = config.teacher_interp
+        teacher_img = config.teacher_img
+        use_pallas = config.use_pallas
         # teacher_img r > 0: the teacher's global windows are bilinearly
         # resized to r x r ON DEVICE before the teacher forward (the model
         # interpolates its positional grid to the new geometry).
@@ -207,14 +226,12 @@ class FrameScorer:
         # only), so exact-f32 scorers keep the XLA path. "auto" enables it
         # on real TPUs; True forces it (interpret mode off-TPU, for
         # tests); False leaves XLA.
-        import dataclasses as _dc
-
         from ..ops.fused_block import should_fuse
 
         if use_pallas is True or (use_pallas == "auto"
                                   and should_fuse(compute_dtype)):
-            self.model_cfg = model_cfg = _dc.replace(model_cfg,
-                                                     use_fused=True)
+            self.model_cfg = model_cfg = dataclasses.replace(model_cfg,
+                                                             use_fused=True)
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:

@@ -160,19 +160,43 @@ def test_scoring_chunk_padding_invariance():
 
 
 def test_segmented_long_video_matches_unsegmented():
-    """A video longer than the frame buffer is scored through overlapping
-    segments; losses must equal the small-buffer-free computation."""
+    """A video longer than one upload piece streams through the piece
+    buffer in slices; losses must be independent of the piece size (one
+    big piece vs many small ones exercising eviction/re-fire)."""
     _, jparams, jcfg = small_pair(embed_dim=32, depth=1, heads=2)
     rng = np.random.RandomState(7)
     T = 150
     frames = rng.randn(T, 224, 224, 3).astype(np.float32)
     loc, glob, eff = window_indices(T, 3, 30)
-    big = FrameScorer(jparams, jcfg, chunk=4, frame_buffer=512)
-    small = FrameScorer(jparams, jcfg, chunk=4, frame_buffer=64)
+    big = FrameScorer(jparams, jcfg, chunk=4, piece=256)
+    small = FrameScorer(jparams, jcfg, chunk=4, piece=32)
     a = big.score_video(frames, loc, glob, eff)
     b = small.score_video(frames, loc, glob, eff)
     assert a.shape == (T,)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_scorer_config_dataclass_equivalence():
+    """ScorerConfig and plain kwargs are the same constructor surface:
+    a config object, kwargs, and config-plus-overrides must produce
+    identical scorers (and identical scores)."""
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        ScorerConfig)
+
+    _, jparams, jcfg = small_pair(embed_dim=32, depth=1, heads=2)
+    rng = np.random.RandomState(3)
+    frames = rng.randn(40, 224, 224, 3).astype(np.float32)
+    loc, glob, eff = window_indices(40, 3, 30)
+    kw = dict(chunk=4, teacher_stride=2, precision=None)
+    by_kwargs = FrameScorer(jparams, jcfg, **kw)
+    by_config = FrameScorer(jparams, jcfg, ScorerConfig(**kw))
+    by_override = FrameScorer(jparams, jcfg,
+                              ScorerConfig(chunk=4, precision=None),
+                              teacher_stride=2)
+    assert by_kwargs.config == by_config.config == by_override.config
+    a = by_kwargs.score_video(frames, loc, glob, eff)
+    b = by_config.score_video(frames, loc, glob, eff)
+    np.testing.assert_allclose(a, b, atol=0)
 
 
 def test_export_loss_merge(tmp_path):

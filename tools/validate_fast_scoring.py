@@ -75,14 +75,24 @@ def selection_agreement(exact, approx, N: int, rate: int, T: int,
     return hits / len(ei)
 
 
+# a validator teacher is LIVE when its softmax distribution varies across
+# window positions by at least this much (max per-dim std, probability
+# units) — a constant distribution scores every frame identically and
+# teacher-side approximations measure exactly 0 error (vacuous validation)
+LIVE_POS_STD = 1e-3
+
+
 def teacher_saturation(params, cfg, video, glob, sample_positions,
                        temp: float = 0.02):
-    """Diagnostic: max teacher softmax prob and #distinct argmax dims over
-    sampled window positions. A random-init ViT-B@224 saturates to a
-    CONSTANT one-hot (max prob 1.0, one argmax) at teacher_temp=0.02 —
-    teacher-side approximations then measure exactly 0 error and the
-    validation is vacuous. Validator configs must have a live signal:
-    several distinct argmax dims across the video."""
+    """Diagnostic: does the teacher softmax CARRY A SIGNAL across window
+    positions? A random-init ViT-B@224 saturates to a CONSTANT one-hot
+    (max prob 1.0) at teacher_temp=0.02 — teacher-side approximations then
+    measure exactly 0 error and the validation is vacuous. The liveness
+    metric is ``pos_std``: the largest per-dim std of the softmax probs
+    across sampled positions (argmax-based metrics are useless here —
+    temperature rescaling can soften a one-hot but can NEVER change the
+    argmax, so a distinct-argmax criterion can't be rescued by the temp
+    escalation below)."""
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +106,9 @@ def teacher_saturation(params, cfg, video, glob, sample_positions,
     t = np.asarray(f(params, jnp.asarray(wins)))
     p = np.asarray(jax.nn.softmax(jnp.asarray(t) / temp, axis=-1))
     return {"max_prob": float(p.max(-1).mean()),
-            "distinct_argmax": int(len(np.unique(p.argmax(-1))))}
+            "distinct_argmax": int(len(np.unique(p.argmax(-1)))),
+            "pos_std": float(p.std(axis=0).max()),
+            "live": bool(p.std(axis=0).max() >= LIVE_POS_STD)}
 
 
 def run_model_validation(arch: str, n_videos: int, T: int, img: int,
@@ -132,15 +144,15 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
     # De-saturate rather than exclude (r2 weak #2): a random-init teacher
     # can collapse to a constant one-hot at the production temp (0.02),
     # making every teacher-side approximation measure exactly zero error.
-    # Raise THIS VALIDATOR's teacher temp until the signal is live
-    # (distinct argmax >= 2 across the video) and record the temp used —
+    # Raise THIS VALIDATOR's teacher temp until the softmax varies across
+    # positions (pos_std >= LIVE_POS_STD) and record the temp used —
     # approximation error is measured at a live operating point instead of
     # the config being dropped from the worst-case aggregation.
     sample_pos = list(range(0, T, max(1, T // 8)))
     t_temp = 0.02
     sat = teacher_saturation(params, cfg, videos[0], glob, sample_pos,
                              temp=t_temp)
-    while sat["distinct_argmax"] < 2 and t_temp < 0.3:
+    while not sat["live"] and t_temp < 0.3:
         t_temp *= 2.0
         sat = teacher_saturation(params, cfg, videos[0], glob, sample_pos,
                                  temp=t_temp)
@@ -289,8 +301,10 @@ def main():
     p.add_argument("--out", default="eval_logs/fast_scoring_validation.json")
     p.add_argument("--skip-model", action="store_true")
     p.add_argument("--modes", default="",
-                   help="comma list restricting the mode grid (the floor "
-                        "row always runs); e.g. 't-lowres,t-lowres+k4'")
+                   help="';'-separated list restricting the mode grid (the "
+                        "floor row always runs; ';' because composite row "
+                        "names contain commas); e.g. "
+                        "'turbo-prod (bf16,k4);k8+cr'")
     args = p.parse_args()
 
     report = {"reference_json_interpolation": run_reference_json_validation()}
@@ -298,7 +312,7 @@ def main():
         validators = ([(args.arch, args.img, None, None)] if args.arch
                       else DEFAULT_VALIDATORS)
         grids = {}
-        mode_filter = ([m.strip() for m in args.modes.split(",") if m.strip()]
+        mode_filter = ([m.strip() for m in args.modes.split(";") if m.strip()]
                        or None)
         for arch, img, n_vid, n_frames in validators:
             grids[f"{arch}@{img}"] = run_model_validation(
@@ -311,7 +325,7 @@ def main():
         # relative errors measure numerical noise, not approximation
         # quality (see teacher_saturation) — it is excluded and recorded
         live = {k: g for k, g in grids.items()
-                if g["saturation"]["distinct_argmax"] >= 2}
+                if g["saturation"]["live"]}
         report["excluded_saturated"] = sorted(set(grids) - set(live))
         if not live:
             live = grids  # never aggregate over nothing
