@@ -78,6 +78,14 @@ def get_args_parser():
                    help="host->device frame transport: yuv420 ships the "
                         "codec's own planar 4:2:0 (half the bytes) and "
                         "color-converts on device")
+    p.add_argument("--local_devices", default=1, type=int,
+                   help="score with N local TPU chips from this one "
+                        "process (0 = all): videos are dealt round-robin "
+                        "to per-chip scorer replicas — no collectives, "
+                        "near-linear videos/min. Replaces the reference's "
+                        "per-GPU torch.distributed.launch; use "
+                        "--shard_id/--num_shards to additionally split "
+                        "across hosts")
     return p
 
 
@@ -91,7 +99,7 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
 
     from dino_video_summarization_transformer_tpu.data.datasets import DinoLossDataset
     from dino_video_summarization_transformer_tpu.engine.scoring import (
-        FrameScorer, run_scoring)
+        make_scorers, run_scoring)
     from dino_video_summarization_transformer_tpu.models import (
         convert, init_timesformer)
     from dino_video_summarization_transformer_tpu.models.timesformer import (
@@ -114,8 +122,9 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         wire_format=cli.wire_format)
 
     compute_dtype = jnp.bfloat16 if cli.precision == "bfloat16" else jnp.float32
-    scorer = FrameScorer(
-        params, mcfg, local_size=local_clip_size, global_size=global_clip_size,
+    scorer = make_scorers(
+        params, mcfg, n_devices=cli.local_devices,
+        local_size=local_clip_size, global_size=global_clip_size,
         chunk=cli.batch_size_per_gpu, compute_dtype=compute_dtype,
         precision="highest" if cli.precision == "float32" else None,
         global_subsample=cli.global_subsample,

@@ -1,3 +1,5 @@
-from .scoring import FrameScorer, ScorerConfig, export_loss, run_scoring
+from .scoring import (FrameScorer, ScorerConfig, export_loss,
+                      make_scorers, run_scoring)
 
-__all__ = ["FrameScorer", "ScorerConfig", "export_loss", "run_scoring"]
+__all__ = ["FrameScorer", "ScorerConfig", "export_loss", "make_scorers",
+           "run_scoring"]

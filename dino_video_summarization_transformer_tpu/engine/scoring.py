@@ -63,14 +63,20 @@ class _PieceBuffer:
     the monotonically advancing chunk cursor passes them.
     """
 
-    def __init__(self, frames: np.ndarray, piece: int = PIECE):
+    def __init__(self, frames: np.ndarray, piece: int = PIECE, device=None):
         self.frames = frames
         self.piece = piece
+        self.device = device  # None = default device (uncommitted puts)
         self.n_pieces = -(-frames.shape[0] // piece)
         self._pieces: Dict[int, jnp.ndarray] = {}
         self._zero: Optional[jnp.ndarray] = None
         self._spans: Dict[tuple, jnp.ndarray] = {}
         self._fired = 0  # pieces uploaded so far (always in order)
+
+    def _put(self, x: np.ndarray) -> jnp.ndarray:
+        if self.device is None:
+            return jax.device_put(x)
+        return jax.device_put(x, self.device)
 
     def fire_until(self, i: int) -> None:
         """Asynchronously upload pieces [fired, i)."""
@@ -81,14 +87,14 @@ class _PieceBuffer:
             sl = self.frames[j * P:(j + 1) * P]
             if sl.shape[0] < P:
                 sl = np.pad(sl, ((0, P - sl.shape[0]),) + ((0, 0),) * nd)
-            self._pieces[j] = jax.device_put(sl)
+            self._pieces[j] = self._put(sl)
             self._fired += 1
 
     def _piece(self, i: int) -> jnp.ndarray:
         if i >= self.n_pieces:
             if self._zero is None:
                 shape = (self.piece,) + self.frames.shape[1:]
-                self._zero = jnp.zeros(shape, self.frames.dtype)
+                self._zero = self._put(np.zeros(shape, self.frames.dtype))
             return self._zero
         self.fire_until(i + 1)
         if i not in self._pieces:  # evicted earlier; re-fire transparently
@@ -97,7 +103,7 @@ class _PieceBuffer:
             if sl.shape[0] < P:
                 sl = np.pad(sl, ((0, P - sl.shape[0]),) +
                             ((0, 0),) * (self.frames.ndim - 1))
-            self._pieces[i] = jax.device_put(sl)
+            self._pieces[i] = self._put(sl)
         return self._pieces[i]
 
     def span(self, i0: int, K: int) -> jnp.ndarray:
@@ -165,6 +171,14 @@ class ScorerConfig:
     teacher_interp: str = "linear"
     use_pallas: str | bool = "auto"
     piece: int = PIECE
+    # Pin this scorer to one local device (jax.Device). Scoring is
+    # embarrassingly parallel over videos (SURVEY §5): N scorers pinned to
+    # N local chips, fed round-robin by run_scoring, scale videos/min
+    # near-linearly WITHOUT multi-process launch (the TPU-native answer to
+    # the reference's torch.distributed.launch sharding — which remains
+    # available as --shard_id/--num_shards for multi-host). None = the
+    # process default device.
+    device: Optional[object] = None
 
 
 class FrameScorer:
@@ -236,6 +250,13 @@ class FrameScorer:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:
             params = jax.tree.map(jnp.asarray, params)
+        self.device = config.device
+        if self.device is not None:
+            # Commit the replica to the pinned device: every jit that
+            # consumes these params (and the committed piece uploads)
+            # then executes there, so N scorers drive N chips from one
+            # process with no collective traffic (videos are independent).
+            params = jax.device_put(params, self.device)
         self.params = params
         self._jitted: Dict[object, object] = {}
         self._dummy_loss: Optional[float] = None
@@ -337,7 +358,7 @@ class FrameScorer:
             # normalized-float input: ship in compute dtype (bf16 halves
             # the wire bytes vs f32); uint8 ships as-is (1 B/px)
             frames = frames.astype(np.dtype(self.compute_dtype))
-        return _PieceBuffer(frames, self.piece)
+        return _PieceBuffer(frames, self.piece, device=self.device)
 
     # -- chunk runner ------------------------------------------------------------
 
@@ -906,9 +927,35 @@ def export_loss(loss_list, video_path: str, file_path: str) -> None:
             json.dump(video_dict, f)
 
 
+def make_scorers(params, model_cfg, config: Optional[ScorerConfig] = None,
+                 n_devices: int = 1, **overrides) -> List[FrameScorer]:
+    """Build one FrameScorer per local device (params replicated).
+
+    Scoring is embarrassingly parallel over videos, so intra-host scaling
+    needs no collectives and no sharded arrays: each scorer is pinned to
+    one ``jax.local_devices()`` entry and ``run_scoring`` feeds them
+    round-robin. ``n_devices`` <= 0 means all local devices. This is the
+    TPU-native replacement for the reference's per-GPU process launch
+    (ref: scripts/dino_similarity_*.sh, utils/utils.py:437-469);
+    --shard_id/--num_shards still split across HOSTS.
+    """
+    if config is None:
+        config = ScorerConfig()
+    if overrides:
+        config = dataclasses.replace(config, **overrides)
+    devs = jax.local_devices()
+    if n_devices <= 0:
+        n_devices = len(devs)
+    n_devices = min(n_devices, len(devs))
+    if n_devices == 1:
+        return [FrameScorer(params, model_cfg, config)]
+    return [FrameScorer(params, model_cfg, config, device=d)
+            for d in devs[:n_devices]]
+
+
 def run_scoring(
     dataset,
-    scorer: FrameScorer,
+    scorer,
     file_path: str,
     num_workers: int = 4,
     shard_id: int = 0,
@@ -919,31 +966,37 @@ def run_scoring(
 ) -> None:
     """Iterate the scoring dataset with host prefetch, exporting per video.
 
-    Sharding over videos replaces the reference's torch.distributed.launch
-    multi-process split (ref: scripts/dino_similarity_*.sh): the scoring
+    ``scorer`` is a FrameScorer or a list of them (one per local device,
+    see make_scorers): video groups are dealt round-robin across scorers,
+    scaling videos/min over local chips from a single process. Sharding
+    over videos (--num_shards) replaces the reference's
+    torch.distributed.launch multi-process split across hosts: the scoring
     workload is embarrassingly parallel over videos.
 
-    Videos are pipelined ``pipeline_depth`` deep: video i+1's uploads and
-    compute dispatches are queued before video i's losses are fetched, so
-    the per-video host sync and JSON export hide behind the next video's
-    work — this matters for many-short-videos corpora (MSVD clips are
-    ~10 s), where per-video latency otherwise dominates.
+    Videos are pipelined ``pipeline_depth`` deep PER SCORER: video i+1's
+    uploads and compute dispatches are queued before video i's losses are
+    fetched, so the per-video host sync and JSON export hide behind the
+    next video's work — this matters for many-short-videos corpora (MSVD
+    clips are ~10 s), where per-video latency otherwise dominates.
     """
     from ..data.loader import PrefetchLoader, shard_indices
 
+    scorers = scorer if isinstance(scorer, (list, tuple)) else [scorer]
     idx = shard_indices(len(dataset), shard_id, num_shards)
     loader = PrefetchLoader(dataset, indices=idx, num_workers=num_workers)
 
     # Videos are batched into GROUPS whose chunks are shared across video
     # boundaries (score_group_async): short-clip corpora otherwise waste up
     # to half of every teacher dispatch on padding. Group size is bounded
-    # by the resident-piece budget (two groups are in flight at once, so
-    # each gets half); ``pipeline_depth`` groups stay queued while older
-    # groups fetch/export, keeping the device busy across the host syncs.
+    # by the resident-piece budget (two groups are in flight at once on a
+    # device, so each gets half); ``pipeline_depth`` groups PER SCORER stay
+    # queued while older groups fetch/export, keeping every device busy
+    # across the host syncs.
     budget = MAX_RESIDENT_PIECES // 2
     pending_groups: List[List[tuple]] = []
     group: List[dict] = []
     group_pieces = 0
+    next_scorer = 0
 
     def drain_to(depth: int):
         while len(pending_groups) > depth:
@@ -951,20 +1004,21 @@ def run_scoring(
                 export_loss(handle.fetch(), path, file_path)
 
     def flush_group():
-        nonlocal group, group_pieces
+        nonlocal group, group_pieces, next_scorer
         if not group:
             return
-        handles = scorer.score_group_async(group)
+        handles = scorers[next_scorer].score_group_async(group)
+        next_scorer = (next_scorer + 1) % len(scorers)
         pending_groups.append(
             [(it["path"], h) for it, h in zip(group, handles)])
         group, group_pieces = [], 0
-        drain_to(max(1, pipeline_depth))
+        drain_to(max(1, pipeline_depth) * len(scorers))
 
     for i, item in enumerate(loader):
         if log_every and i % log_every == 0:
             print(f"{i + 1} / {len(idx)}", flush=True)
         n_p = (0 if item["dummy"]
-               else -(-item["frames"].shape[0] // scorer.piece))
+               else -(-item["frames"].shape[0] // scorers[0].piece))
         if group and (len(group) >= group_videos
                       or group_pieces + n_p > budget):
             flush_group()

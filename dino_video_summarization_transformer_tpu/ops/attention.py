@@ -150,6 +150,48 @@ def mhsa_pallas(p, x: jnp.ndarray, num_heads: int,
     return linear(p["proj"], out)
 
 
+def attention_logit_margin(params, x, cfg, compute_dtype=jnp.float32):
+    """Largest pre-softmax |score| over every attention call of a forward.
+
+    Debug check for the max-free softmax above: the kernel clamps scores to
+    +/-_CLAMP instead of subtracting the row max, which is exact only while
+    |s| < _CLAMP. Run this against any newly converted real checkpoint
+    (trained logits grow far beyond random-init scale); a margin approaching
+    _CLAMP means the fused kernels would silently equalize saturated rows
+    and the model must use the XLA path instead. Returns max |s|; compare
+    against ``clamp_value()``.
+    """
+    from ..models import timesformer as tsf
+
+    maxes = []
+    orig = tsf.mhsa
+
+    def recording_mhsa(p, xx, num_heads, deterministic=True):
+        B, N, C = xx.shape
+        hd = C // num_heads
+        qkv = tsf.linear(p["qkv"], xx).reshape(B, N, 3, num_heads, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * hd ** -0.5
+        # debug.callback: works under jit/scan (the block loop is a
+        # lax.scan), delivering the concrete max at run time
+        jax.debug.callback(lambda m: maxes.append(float(m)),
+                           jnp.max(jnp.abs(s)))
+        return orig(p, xx, num_heads, deterministic)
+
+    tsf.mhsa = recording_mhsa
+    try:
+        tsf.forward(params, x, cfg, compute_dtype=compute_dtype)
+    finally:
+        tsf.mhsa = orig
+    return max(maxes)
+
+
+def clamp_value() -> float:
+    return _CLAMP
+
+
 def use_pallas_attention(enable: bool = True) -> None:
     """Globally swap the TimeSformer's attention implementation.
 

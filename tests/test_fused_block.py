@@ -316,3 +316,24 @@ def test_fused_attention_packed():
     p /= p.sum(-1, keepdims=True)
     want = np.einsum("bnm,bmd->bnd", p, vs).reshape(B, L, hd)
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_attention_logit_margin_under_clamp():
+    """ADVICE r2 (low): the max-free softmax clamps at +/-80 without a max
+    shift, exact only while pre-softmax |s| < clamp. This harness measures
+    the actual margin over a full forward; run it against any newly
+    converted REAL checkpoint (see attention_logit_margin docstring) —
+    here it pins the random-init + trunc-normal regime and documents the
+    4x safety factor the fused path requires."""
+    from dino_video_summarization_transformer_tpu.models import (
+        init_timesformer, vit_tiny_config)
+    from dino_video_summarization_transformer_tpu.ops.attention import (
+        attention_logit_margin, clamp_value)
+
+    cfg = vit_tiny_config(num_frames=4, img_size=32, num_classes=0)
+    params = init_timesformer(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 4, 32, 32), jnp.float32)
+    margin = attention_logit_margin(params, x, cfg)
+    assert margin < clamp_value() / 4.0, (
+        f"pre-softmax |s| max {margin:.1f} approaches the {clamp_value()} "
+        "clamp — the fused kernels would saturate; use the XLA path")
