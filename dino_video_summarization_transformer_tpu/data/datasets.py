@@ -194,7 +194,8 @@ class FrameSelectionDataset:
     def __init__(self, cfg, pre_sampling_rate: int,
                  selection_method: str = "uniform", num_frames: int = 8,
                  augmentations: bool = False, return_type: str = "Tensor",
-                 mode: str = "test", sharpen: bool = False):
+                 mode: str = "test", sharpen: bool = False,
+                 probe_only: bool = False):
         self.cfg = cfg
         self.mode = mode
         self.pre_sampling_rate = pre_sampling_rate
@@ -204,6 +205,16 @@ class FrameSelectionDataset:
         self.augmentations = augmentations
         self.return_type = return_type
         self.sharpen = sharpen
+        # Indices-mode fast path: selection math needs only FRAME COUNTS
+        # (the reference decodes the whole video anyway —
+        # frame_selection_loader.py:93 — but never touches the pixels when
+        # only indices are consumed). probe_only derives the presampled
+        # count from container metadata (ceil(nb_frames / rate), matching
+        # the strided decode) and skips the decode entirely; falls back to
+        # decoding when the container reports no frame count. Opt-in: a
+        # container whose nb_frames metadata lies would shift indices vs
+        # the reference's decode-derived count.
+        self.probe_only = probe_only
 
         with open(cfg.LOSS_FILE, "r") as f:
             self.loss_dict = json.load(f)
@@ -223,10 +234,34 @@ class FrameSelectionDataset:
     def labels(self):
         return list(self._labels)
 
+    def _indices_from_probe(self, path, file_name, index, N):
+        """Decode-free Indices path: counts from container metadata."""
+        info = vio.video_info(path)
+        num_unsampled = info["num_frames"]
+        if num_unsampled <= 0:
+            return None  # metadata absent; caller decodes
+        num_presampled = -(-num_unsampled // self.pre_sampling_rate)
+        if self.selection_method == "adaptive":
+            key = os.path.splitext(file_name)[0]
+            indices, frame_rows = sel.adaptive_indices(
+                self.loss_dict[key], N, self.pre_sampling_rate,
+                num_presampled=num_presampled, num_unsampled=num_unsampled,
+                sharpen=self.sharpen)
+        else:
+            indices, frame_rows = sel.uniform_indices(N, num_presampled)
+        indices = sel.pad_indices(indices, N, len(frame_rows))
+        return indices, self._labels[index], file_name
+
     def __getitem__(self, index: int):
         path = self._path_to_videos[index]
         file_name = os.path.basename(path)
         N = self.num_frames
+
+        if (self.probe_only and self.return_type == "Indices"
+                and not self.augmentations):
+            out = self._indices_from_probe(path, file_name, index, N)
+            if out is not None:
+                return out
 
         # total unsampled frame count, needed for the duplicate-resolution
         # bound (ref: frame_selection_loader.py:159-164)

@@ -347,3 +347,54 @@ def test_prefetch_loader_order_and_errors():
     assert out == [i * i for i in range(12)]
     with pytest.raises(ValueError):
         list(PrefetchLoader(DS(), indices=range(20), num_workers=4))
+
+
+def test_selection_probe_only_matches_decode_path(tmp_path):
+    """probe_only derives Indices from container metadata (no decode);
+    must match the decode path index-for-index across ragged lengths,
+    rates, methods and sharpening (the reference decodes the whole video
+    but never uses the pixels in Indices mode)."""
+    import json
+
+    from dino_video_summarization_transformer_tpu.config import get_cfg
+    from dino_video_summarization_transformer_tpu.data import video as vio
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        FrameSelectionDataset)
+
+    if not vio.native_available():
+        pytest.skip("native decoder not built")
+
+    rng = np.random.RandomState(0)
+    lengths = [29, 32, 37, 40, 61]
+    names = []
+    for i, T in enumerate(lengths):
+        name = f"v{i}.avi"
+        vio.write_video(str(tmp_path / name),
+                        rng.randint(0, 256, (T, 64, 96, 3), dtype=np.uint8),
+                        fps=30)
+        names.append(name)
+    (tmp_path / "test.csv").write_text("".join(f"{n} 0\n" for n in names))
+
+    for rate in (3, 4):
+        loss = {f"v{i}": list(rng.rand(-(-T // rate)))
+                for i, T in enumerate(lengths)}
+        loss_file = str(tmp_path / f"loss_{rate}.json")
+        with open(loss_file, "w") as f:
+            json.dump(loss, f)
+        cfg = get_cfg()
+        cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+        cfg.DATA.PATH_PREFIX = str(tmp_path)
+        cfg.LOSS_FILE = loss_file
+        for method, sharpen in (("adaptive", False), ("adaptive", True),
+                                ("uniform", False)):
+            slow = FrameSelectionDataset(cfg, rate, method, 8,
+                                         return_type="Indices",
+                                         sharpen=sharpen)
+            fast = FrameSelectionDataset(cfg, rate, method, 8,
+                                         return_type="Indices",
+                                         sharpen=sharpen, probe_only=True)
+            for i in range(len(slow)):
+                si, sl, sn = slow[i]
+                fi, fl, fn = fast[i]
+                assert (si, sl, sn) == (fi, fl, fn), (
+                    rate, method, sharpen, names[i])

@@ -38,6 +38,12 @@ def get_args_parser():
     p.add_argument("--data_path", default="", type=str)
     p.add_argument("--log_path", default="eval_logs/k400_eval.log", type=str)
     p.add_argument("--limit", default=0, type=int)
+    p.add_argument("--probe_indices", default=False, action="store_true",
+                   help="derive selection indices from container metadata "
+                        "instead of decoding the whole video (the pixels "
+                        "are re-decoded selectively anyway); skips one "
+                        "full decode per video — opt-in because lying "
+                        "nb_frames metadata would shift indices")
     p.add_argument("--precision", default="float32",
                    choices=["float32", "bfloat16"])
     return p
@@ -99,7 +105,7 @@ def evaluation(args):
         config, pre_sampling_rate=args.pre_sampling_rate,
         selection_method=args.selection_method, num_frames=args.num_frames,
         augmentations=False, return_type="Indices", mode="test",
-        sharpen=args.sharpen)
+        sharpen=args.sharpen, probe_only=args.probe_indices)
 
     compute_dtype = (jnp.bfloat16 if args.precision == "bfloat16"
                      else jnp.float32)
