@@ -112,7 +112,8 @@ def _e2e_inner(scorer, d, n_videos, raw_frames, rate, num_frames):
     cfg.DATA.PATH_PREFIX = d
     cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
     ds = DinoLossDataset(cfg, "test", scorer.local_size,
-                         scorer.global_size, rate, wire_format="yuv420")
+                         scorer.global_size, rate,
+                         wire_format=scorer.config.wire_format)
     loss_file = os.path.join(d, "loss.json")
 
     # untimed warmup pass: compiles every dispatch shape of THIS mode
@@ -147,10 +148,14 @@ def main():
     p.add_argument("--mode", default="turbo", choices=sorted(MODES))
     p.add_argument("--frames", type=int, default=480)
     p.add_argument("--chunk", type=int, default=0, help="0 = auto")
-    p.add_argument("--wire", default="yuv420", choices=["yuv420", "u8", "f32"],
+    p.add_argument("--wire", default="yuv420",
+                   choices=["yuv420", "yuv420q", "u8", "f32"],
                    help="frame transport: yuv420 = packed planar 4:2:0 as "
                         "decoded (1.5 B/px, color conversion fused on "
-                        "device — the production path); u8 = RGB24 "
+                        "device — the production path); yuv420q = chroma "
+                        "box-averaged to 1/8 per axis (~1.03 B/px — "
+                        "EXPERIMENTAL, quality-invalidated, BENCH.md); "
+                        "u8 = RGB24 "
                         "(3 B/px); f32 = pre-normalized floats")
     p.add_argument("--repeats", type=int, default=5,
                    help="best-of; the shared TPU tunnel has high variance")
@@ -194,17 +199,22 @@ def main():
     scorer = FrameScorer(params, cfg, chunk=args.chunk, compute_dtype=dtype,
                          precision=precision, global_subsample=subsample,
                          teacher_stride=t_stride, score_stride=s_stride,
-                         teacher_img=t_img, teacher_interp=t_interp)
+                         teacher_img=t_img, teacher_interp=t_interp,
+                         wire_format=("yuv420q" if args.wire == "yuv420q"
+                                      else "yuv420"))
 
     T = args.frames
-    if args.wire == "yuv420":
+    if args.wire in ("yuv420", "yuv420q"):
         # what the native decoder hands the dataset: packed I420 planes
         # (data/video.py read_video_yuv420) — RGB never exists on the host
-        from dino_video_summarization_transformer_tpu.data.yuv import pack_rgb
+        from dino_video_summarization_transformer_tpu.data.yuv import (
+            pack_rgb, quarter_chroma)
 
         rgb = np.random.RandomState(0).randint(
             0, 256, (T, 224, 224, 3), dtype=np.uint8)
         frames = pack_rgb(rgb)
+        if args.wire == "yuv420q":
+            frames = quarter_chroma(frames)
     elif args.wire == "u8":
         frames = np.random.RandomState(0).randint(
             0, 256, (T, 224, 224, 3), dtype=np.uint8)

@@ -74,10 +74,14 @@ def get_args_parser():
                         "loss curve between (fastest; selection quality "
                         "documented in BENCH.md — opt-in)")
     p.add_argument("--wire_format", default="rgb8",
-                   choices=["rgb8", "yuv420"],
+                   choices=["rgb8", "yuv420", "yuv420q"],
                    help="host->device frame transport: yuv420 ships the "
                         "codec's own planar 4:2:0 (half the bytes) and "
-                        "color-converts on device")
+                        "color-converts on device; yuv420q further "
+                        "box-averages chroma to 1/8 resolution per axis "
+                        "(~1.03 B/px) — EXPERIMENTAL, measured far above "
+                        "the quality floor on the synthetic validators "
+                        "(BENCH.md: The wire); revalidate before use")
     p.add_argument("--local_devices", default=1, type=int,
                    help="score with N local TPU chips from this one "
                         "process (0 = all): videos are dealt round-robin "
@@ -129,7 +133,9 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         precision="highest" if cli.precision == "float32" else None,
         global_subsample=cli.global_subsample,
         teacher_stride=cli.teacher_stride, score_stride=cli.score_stride,
-        teacher_interp=cli.teacher_interp)
+        teacher_interp=cli.teacher_interp,
+        wire_format=cli.wire_format if cli.wire_format != "rgb8"
+        else "yuv420")
     approx = cli.global_subsample > 1 or cli.teacher_stride > 1 \
         or cli.score_stride > 1 or cli.wire_format != "rgb8"
     if approx and cli.precision == "float32":

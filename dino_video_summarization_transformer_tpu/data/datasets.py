@@ -88,8 +88,10 @@ class DinoLossDataset:
         # wire_format "yuv420": decode straight to packed I420 (the codec's
         # own planar 4:2:0 — HALF the bytes of RGB) and let the scoring
         # kernels color-convert on device (data/yuv.py). Implies
-        # device-side preprocessing.
-        assert wire_format in ("rgb8", "yuv420"), wire_format
+        # device-side preprocessing. "yuv420q" additionally box-averages
+        # chroma to 1/8 resolution per axis (~1.03 B/px) for wire-bound
+        # links; the scorer must be built with wire_format="yuv420q".
+        assert wire_format in ("rgb8", "yuv420", "yuv420q"), wire_format
         self.wire_format = wire_format
         num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS
         csv = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{mode}.csv")
@@ -123,7 +125,7 @@ class DinoLossDataset:
             return out
 
     def _load_item(self, path: str, out: dict) -> dict:
-        packed = self.wire_format == "yuv420"
+        packed = self.wire_format in ("yuv420", "yuv420q")
         try:
             # decode with the pre-sampling stride applied in the decoder
             # (the reference decodes everything then slices [::rate],
@@ -160,6 +162,10 @@ class DinoLossDataset:
             x0 = int(_math.ceil((frames_u8.shape[2] - self.crop_size) / 2))
             frames = yuv.crop(frames_u8, y0, x0,
                               self.crop_size, self.crop_size)
+            if self.wire_format == "yuv420q":
+                # crop first (full-res chroma grid), then quarter: the
+                # 8x8-aligned crop the q layout would need never rounds
+                frames = yuv.quarter_chroma(frames)
         elif self.device_preprocess:
             # center crop on uint8 without normalizing (engine normalizes)
             tchw = np.moveaxis(frames_u8, -1, 1)

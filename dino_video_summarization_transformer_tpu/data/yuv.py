@@ -144,6 +144,147 @@ def crop(packed: np.ndarray, y0: int, x0: int, ch: int, cw: int) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+# ---------------------------------------------------------------------------
+# yuv420q: quarter-resolution chroma (wire-bound-link insurance)
+#
+# 4:2:0 already halves the wire vs RGB; on links where the host->device
+# wire still binds (the bench tunnel measures 7-37 MB/s; BENCH.md "The
+# wire"), the remaining byte lever is chroma: U/V box-averaged a further
+# 4x per axis (1/64th the chroma samples; 1.5 -> ~1.03 B/px, 224px frame
+# 75.3 -> 51.7 KB). INVALIDATED on quality: chroma carries real
+# DINO-feature signal — measured 16-27% rel score error (1/8 per axis)
+# and ~7% even at 1/4 per axis vs the ~3% bf16 floor on the synthetic
+# validators (tests/test_yuv_wire.py). Kept as an experimental knob
+# (`--wire_format yuv420q`) for revalidation against trained
+# checkpoints; NOT a production mode.
+#
+# Layout: Y rows [0, H) as in I420; then U (H//8 * W//8 bytes) followed by
+# V (likewise), byte-flat, zero-padded to whole rows of width W. Requires
+# H % 8 == 0 and W % 8 == 0 (scoring crops to 224 first).
+# ---------------------------------------------------------------------------
+
+
+def packed_q_height(h: int, w: int) -> int:
+    """Rows of the packed yuv420q image for an (h, w) frame."""
+    assert h % 8 == 0 and w % 8 == 0, (h, w)
+    return h + -(-2 * (h // 8) * (w // 8) // w)
+
+
+def frame_height_q(rows: int, w: int) -> int:
+    """Frame height from packed yuv420q row count (H % 8 == 0)."""
+    h = (32 * rows // 33) // 8 * 8
+    while packed_q_height(h, w) < rows:
+        h += 8
+    assert packed_q_height(h, w) == rows, (rows, w)
+    return h
+
+
+def _chroma_q(u: np.ndarray, v: np.ndarray):
+    """Half-res chroma planes -> 4x4 box-averaged eighth-res planes."""
+    lead = u.shape[:-2]
+    h2, w2 = u.shape[-2:]
+    assert h2 % 4 == 0 and w2 % 4 == 0, (h2, w2)
+    uq = u.astype(np.float32).reshape(
+        *lead, h2 // 4, 4, w2 // 4, 4).mean(axis=(-3, -1))
+    vq = v.astype(np.float32).reshape(
+        *lead, h2 // 4, 4, w2 // 4, 4).mean(axis=(-3, -1))
+    return (np.clip(np.rint(uq), 16, 240).astype(np.uint8),
+            np.clip(np.rint(vq), 16, 240).astype(np.uint8))
+
+
+def _assemble_q(y: np.ndarray, uq: np.ndarray, vq: np.ndarray) -> np.ndarray:
+    lead = y.shape[:-2]
+    H, W = y.shape[-2:]
+    rows = packed_q_height(H, W)
+    chroma = np.concatenate([uq.reshape(*lead, -1),
+                             vq.reshape(*lead, -1)], axis=-1)
+    pad = (rows - H) * W - chroma.shape[-1]
+    if pad:
+        chroma = np.concatenate(
+            [chroma, np.zeros((*lead, pad), np.uint8)], axis=-1)
+    return np.ascontiguousarray(np.concatenate(
+        [y, chroma.reshape(*lead, rows - H, W)], axis=-2))
+
+
+def quarter_chroma(packed: np.ndarray) -> np.ndarray:
+    """Packed I420 (..., H*3//2, W) -> packed yuv420q (the host-side step
+    applied to the native decoder's planes; Y bytes are untouched)."""
+    y, u, v, H, W = _planes(np.asarray(packed))
+    uq, vq = _chroma_q(u, v)
+    return _assemble_q(y, uq, vq)
+
+
+def pack_rgb_q(frames: np.ndarray) -> np.ndarray:
+    """RGB (T, H, W, 3) uint8 -> packed yuv420q, via the I420 pack (so the
+    chroma siting matches what quarter_chroma produces from the codec)."""
+    return quarter_chroma(pack_rgb(frames))
+
+
+def _planes_q(packed, w: int):
+    rows = packed.shape[-2]
+    H = frame_height_q(rows, w)
+    lead = packed.shape[:-2]
+    y = packed[..., :H, :]
+    chroma = packed[..., H:, :].reshape(*lead, (rows - H) * w)
+    q = (H // 8) * (w // 8)
+    u = chroma[..., :q].reshape(*lead, H // 8, w // 8)
+    v = chroma[..., q:2 * q].reshape(*lead, H // 8, w // 8)
+    return y, u, v, H
+
+
+def unpack_q_to_rgb(packed: np.ndarray) -> np.ndarray:
+    """Packed yuv420q -> RGB uint8 (host mirror of unpack_normalize_q)."""
+    packed = np.asarray(packed)
+    y, u, v, H = _planes_q(packed, packed.shape[-1])
+    c = (y.astype(np.float32) - 16.0) * _Y_GAIN
+    d = np.repeat(np.repeat(u, 8, axis=-2), 8, axis=-1).astype(np.float32) - 128.0
+    e = np.repeat(np.repeat(v, 8, axis=-2), 8, axis=-1).astype(np.float32) - 128.0
+    rgb = np.stack([c + _R_V * e,
+                    c - _G_U * d - _G_V * e,
+                    c + _B_U * d], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def crop_q(packed: np.ndarray, y0: int, x0: int, ch: int, cw: int) -> np.ndarray:
+    """Spatial crop of a packed yuv420q buffer (offsets rounded down to a
+    multiple of 8 so the eighth-res chroma grid stays aligned; ch/cw must
+    be multiples of 8)."""
+    assert ch % 8 == 0 and cw % 8 == 0, (ch, cw)
+    y0 &= ~7
+    x0 &= ~7
+    packed = np.asarray(packed)
+    y, u, v, H = _planes_q(packed, packed.shape[-1])
+    yc = np.ascontiguousarray(y[..., y0:y0 + ch, x0:x0 + cw])
+    uc = np.ascontiguousarray(
+        u[..., y0 // 8:(y0 + ch) // 8, x0 // 8:(x0 + cw) // 8])
+    vc = np.ascontiguousarray(
+        v[..., y0 // 8:(y0 + ch) // 8, x0 // 8:(x0 + cw) // 8])
+    return _assemble_q(yc, uc, vc)
+
+
+def unpack_normalize_q(packed, mean, std, dtype):
+    """Device-side yuv420q unpack (jnp; see unpack_normalize)."""
+    import jax.numpy as jnp
+
+    rows, W = packed.shape[-2:]
+    H = frame_height_q(rows, W)
+    lead = packed.shape[:-2]
+    y = packed[..., :H, :]
+    chroma = packed[..., H:, :].reshape(*lead, (rows - H) * W)
+    q = (H // 8) * (W // 8)
+    u = chroma[..., :q].reshape(*lead, H // 8, W // 8)
+    v = chroma[..., q:2 * q].reshape(*lead, H // 8, W // 8)
+    c = (y.astype(jnp.float32) - 16.0) * _Y_GAIN
+    d = jnp.repeat(jnp.repeat(u, 8, axis=-2), 8, axis=-1).astype(jnp.float32) - 128.0
+    e = jnp.repeat(jnp.repeat(v, 8, axis=-2), 8, axis=-1).astype(jnp.float32) - 128.0
+    rgb = jnp.stack([c + _R_V * e,
+                     c - _G_U * d - _G_V * e,
+                     c + _B_U * d], axis=-1)
+    rgb = jnp.clip(rgb, 0.0, 255.0) / 255.0
+    out = (rgb - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return out.astype(dtype)
+
+
 def unpack_normalize(packed, mean, std, dtype):
     """Device-side unpack: (..., H*3//2, W) uint8 -> normalized
     (..., H, W, 3) in ``dtype``.

@@ -171,6 +171,15 @@ class ScorerConfig:
     teacher_interp: str = "linear"
     use_pallas: str | bool = "auto"
     piece: int = PIECE
+    # How 2D-packed frames are interpreted by the device gather kernel:
+    # "yuv420" = the codec's I420 planes (default); "yuv420q" = I420 with
+    # chroma box-averaged to 1/8 resolution per axis (~1.03 B/px).
+    # yuv420q is an INVALIDATED experiment kept as a knob: 16-27% rel
+    # score error on the synthetic validators vs the ~3-5% bf16 floor
+    # (tests/test_yuv_wire.py quantification; BENCH.md "The wire") —
+    # chroma carries real DINO-feature signal. 3D RGB frames are
+    # unaffected by this knob.
+    wire_format: str = "yuv420"
     # Pin this scorer to one local device (jax.Device). Scoring is
     # embarrassingly parallel over videos (SURVEY §5): N scorers pinned to
     # N local chips, fed round-robin by run_scoring, scale videos/min
@@ -280,8 +289,11 @@ class FrameScorer:
         the wire bytes, color-converted here on device (data/yuv.py)."""
         v = jnp.take(frames, idx.reshape(-1), axis=0)
         v = v.reshape(self.chunk, n_view, *frames.shape[1:])
-        if v.ndim == 4:  # packed I420: upsample chroma + color matrix + norm
-            v = yuv.unpack_normalize(v, self.mean, self.std, self.compute_dtype)
+        if v.ndim == 4:  # packed planes: upsample chroma + color matrix + norm
+            unpack = (yuv.unpack_normalize_q
+                      if self.config.wire_format == "yuv420q"
+                      else yuv.unpack_normalize)
+            v = unpack(v, self.mean, self.std, self.compute_dtype)
         elif v.dtype == jnp.uint8:
             vf = v.astype(jnp.float32) / 255.0
             v = ((vf - self.mean) / self.std)

@@ -265,3 +265,112 @@ def test_dataset_unexpected_error_degrades_to_dummy(tmp_path, monkeypatch):
     monkeypatch.setattr(dmod.vio, "read_video_yuv420", boom)
     item = ds[0]
     assert item["dummy"] and item["frames"] is None
+
+
+def test_q_pack_unpack_roundtrip():
+    """yuv420q round trip: constant-chroma content survives exactly; Y is
+    bit-identical to the I420 pack (only chroma is further averaged)."""
+    rgb = np.full((2, 32, 64, 3), 0, np.uint8)
+    rgb[..., 0] = 120
+    rgb[..., 1] = 64
+    rgb[..., 2] = 200
+    packed = yuv.pack_rgb_q(rgb)
+    assert packed.shape == (2, yuv.packed_q_height(32, 64), 64)
+    back = yuv.unpack_q_to_rgb(packed)
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 3
+    i420 = yuv.pack_rgb(rgb)
+    np.testing.assert_array_equal(packed[:, :32], i420[:, :32])  # Y rows
+
+
+def test_q_frame_height_inverse():
+    for h in (32, 96, 224, 256):
+        for w in (32, 224, 320):
+            assert yuv.frame_height_q(yuv.packed_q_height(h, w), w) == h
+
+
+def test_q_device_unpack_matches_host_mirror():
+    import jax.numpy as jnp
+
+    packed = yuv.pack_rgb_q(_smooth_rgb(T=2))
+    mean, std = np.array([0.45] * 3), np.array([0.225] * 3)
+    dev = np.asarray(yuv.unpack_normalize_q(jnp.asarray(packed), mean, std,
+                                            jnp.float32))
+    host = ((yuv.unpack_q_to_rgb(packed).astype(np.float32) / 255.0)
+            - mean) / std
+    np.testing.assert_allclose(dev, host, atol=0.02)
+
+
+def test_q_crop_matches_full_crop():
+    rgb = _smooth_rgb(T=3, H=64, W=96)
+    a = yuv.unpack_q_to_rgb(yuv.crop_q(yuv.pack_rgb_q(rgb), 8, 16, 32, 48))
+    b = yuv.unpack_q_to_rgb(yuv.pack_rgb_q(rgb[:, 8:40, 16:64]))
+    # same 8-aligned crop window -> identical chroma blocks
+    np.testing.assert_array_equal(a, b)
+
+
+def test_scores_q_wire_delta_quantified(tiny_scorer):
+    """yuv420q is an INVALIDATED wire experiment, kept as a knob.
+
+    Measured on the synthetic validators (de-saturated teacher, img 32/96):
+    chroma at 1/8 per axis costs 16-27% rel score error (Spearman 0.08-0.89)
+    and even 1/4 per axis costs ~7% vs the ~2.7% bf16 floor — chroma
+    carries real DINO-feature signal, so sub-4:2:0 chroma is NOT a valid
+    approximation (same verdict pattern as the low-res teacher; BENCH.md
+    "The wire"). This test pins the mechanism (scorer consumes the q
+    layout, scores finite, rank signal not degenerate) and documents the
+    envelope so a future revalidation with trained checkpoints has a
+    baseline."""
+    import dataclasses
+
+    from dino_video_summarization_transformer_tpu.data.windows import (
+        window_indices)
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        FrameScorer)
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_video)
+
+    T = 64
+    raw = np.clip(make_video(1, T, 32) * 255, 0, 255).astype(np.uint8)
+    packed = yuv.pack_rgb(raw)
+    loc, glob, eff = window_indices(T, 3, 30)
+
+    base = tiny_scorer.score_video(packed, loc, glob, eff)
+    q_scorer = FrameScorer(tiny_scorer.params, tiny_scorer.model_cfg,
+                           dataclasses.replace(tiny_scorer.config,
+                                               wire_format="yuv420q"))
+    q = q_scorer.score_video(yuv.quarter_chroma(packed), loc, glob, eff)
+
+    assert np.isfinite(q).all()
+    assert q.shape == base.shape
+    # not degenerate: scores still vary across frames
+    assert np.std(q) > 0
+
+
+def test_dataset_q_wire(tmp_path):
+    """DinoLossDataset(wire_format='yuv420q') ships q-packed frames whose
+    unpack matches the yuv420 dataset's crop, chroma-averaged."""
+    from dino_video_summarization_transformer_tpu.config.defaults import (
+        get_cfg)
+    from dino_video_summarization_transformer_tpu.data import video as vio
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        DinoLossDataset)
+
+    if not vio.native_available():
+        pytest.skip("native decoder not built")
+    rng = np.random.RandomState(0)
+    fr = rng.randint(0, 256, (12, 256, 320, 3), dtype=np.uint8)
+    vio.write_video(str(tmp_path / "a.avi"), fr, fps=30)
+    (tmp_path / "test.csv").write_text("a.avi 0\n")
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(tmp_path)
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+
+    it_i420 = DinoLossDataset(cfg, "test", 3, 30, 1,
+                              wire_format="yuv420")[0]
+    it_q = DinoLossDataset(cfg, "test", 3, 30, 1,
+                           wire_format="yuv420q")[0]
+    assert not it_q["dummy"]
+    assert it_q["frames"].shape == (12, yuv.packed_q_height(224, 224), 224)
+    np.testing.assert_array_equal(
+        it_q["frames"], yuv.quarter_chroma(it_i420["frames"]))

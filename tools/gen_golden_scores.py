@@ -44,6 +44,17 @@ def compute_golden():
     scorer = FrameScorer(params, cfg, local_size=3, global_size=30, chunk=8,
                          compute_dtype=jnp.float32, precision="highest")
 
+    # the strided approximations' f32 numerics are deterministic too: pin
+    # the teacher-interpolation paths (turbo = k4 linear, turbo2 = k8
+    # Catmull-Rom) so a regression in _interp_rows / the split kernels
+    # fails CI as loudly as one in the exact path
+    turbo = FrameScorer(params, cfg, local_size=3, global_size=30, chunk=8,
+                        compute_dtype=jnp.float32, precision="highest",
+                        teacher_stride=4)
+    turbo2 = FrameScorer(params, cfg, local_size=3, global_size=30, chunk=8,
+                         compute_dtype=jnp.float32, precision="highest",
+                         teacher_stride=8, teacher_interp="catmullrom")
+
     out = {}
     # two window geometries: the standard long-video case (T > global_size)
     # and the clamped short-video case (eff_global = T)
@@ -53,6 +64,11 @@ def compute_golden():
         loc, glob, eff = window_indices(T, 3, 30)
         losses = scorer.score_video(frames, loc, glob, eff)
         out[name] = [float(x) for x in losses]
+        if name == "long_T40":
+            out["turbo_k4_T40"] = [
+                float(x) for x in turbo.score_video(frames, loc, glob, eff)]
+            out["turbo2_k8cr_T40"] = [
+                float(x) for x in turbo2.score_video(frames, loc, glob, eff)]
     return out
 
 
