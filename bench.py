@@ -40,6 +40,11 @@ MODES = {
     # mode -> (dtype, precision, global_subsample, teacher_stride,
     #          score_stride, teacher_img, teacher_interp)
     "exact": ("bf16", None, 1, 1, 1, 0, "linear"),
+    # exact-mixed: f32 activations/carry with DEFAULT-precision matmuls —
+    # on TPU that is bf16-multiply/f32-accumulate, i.e. a far lower noise
+    # floor than full bf16 at some HBM cost (no fused kernels: they are
+    # bf16-gated). The quality validator's oracle runs this tier.
+    "exact-mixed": ("f32", None, 1, 1, 1, 0, "linear"),
     "exact-f32": ("f32", "highest", 1, 1, 1, 0, "linear"),
     "turbo": ("bf16", None, 1, 4, 1, 0, "linear"),
     # turbo2: teacher stride 8 with Catmull-Rom (cubic) CLS interpolation —
