@@ -38,23 +38,29 @@ import time
 
 MODES = {
     # mode -> (dtype, precision, global_subsample, teacher_stride,
-    #          score_stride, teacher_img, teacher_interp)
-    "exact": ("bf16", None, 1, 1, 1, 0, "linear"),
+    #          score_stride, teacher_img, teacher_interp, use_pallas)
+    "exact": ("bf16", None, 1, 1, 1, 0, "linear", "auto"),
     # exact-mixed: f32 activations/carry with DEFAULT-precision matmuls —
     # on TPU that is bf16-multiply/f32-accumulate, i.e. a far lower noise
-    # floor than full bf16 at some HBM cost (no fused kernels: they are
-    # bf16-gated). The quality validator's oracle runs this tier.
-    "exact-mixed": ("f32", None, 1, 1, 1, 0, "linear"),
-    "exact-f32": ("f32", "highest", 1, 1, 1, 0, "linear"),
-    "turbo": ("bf16", None, 1, 4, 1, 0, "linear"),
+    # floor than full bf16 at some HBM cost. The quality validator's
+    # oracle runs this tier (XLA path). -fused variants run the same
+    # numerics through the fused Pallas kernels (f32 carries, bf16 matmul
+    # operands — opt-in via use_pallas=True).
+    "exact-mixed": ("f32", None, 1, 1, 1, 0, "linear", "auto"),
+    "exact-mixed-fused": ("f32", None, 1, 1, 1, 0, "linear", True),
+    "exact-f32": ("f32", "highest", 1, 1, 1, 0, "linear", "auto"),
+    "turbo": ("bf16", None, 1, 4, 1, 0, "linear", "auto"),
+    # turbo-mixed: turbo's teacher stride at the mixed tier — near-f32
+    # quality at fused-kernel speed (f32 carries)
+    "turbo-mixed": ("f32", None, 1, 4, 1, 0, "linear", True),
     # turbo2: teacher stride 8 with Catmull-Rom (cubic) CLS interpolation —
     # the curvature term is what k=8+linear was missing (quality table in
     # BENCH.md / eval_logs/fast_scoring_validation.json)
-    "turbo2": ("bf16", None, 1, 8, 1, 0, "catmullrom"),
+    "turbo2": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto"),
     # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
-    "turbo-max": ("bf16", None, 1, 4, 4, 0, "linear"),
+    "turbo-max": ("bf16", None, 1, 4, 4, 0, "linear", "auto"),
 }
 
 
@@ -175,7 +181,7 @@ def main():
     args = p.parse_args()
 
     (dtype_name, precision, subsample, t_stride, s_stride,
-     t_img, t_interp) = MODES[args.mode]
+     t_img, t_interp, use_pallas) = MODES[args.mode]
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -205,6 +211,7 @@ def main():
                          precision=precision, global_subsample=subsample,
                          teacher_stride=t_stride, score_stride=s_stride,
                          teacher_img=t_img, teacher_interp=t_interp,
+                         use_pallas=use_pallas,
                          wire_format=("yuv420q" if args.wire == "yuv420q"
                                       else "yuv420"))
 

@@ -62,10 +62,16 @@ _BWD_COMPILER_PARAMS = pltpu.CompilerParams(
 
 def fused_ok(x, num_heads: int | None = None) -> bool:
     """Dtype/shape gate for the per-call fused dispatch in
-    models/timesformer.py's phase functions.
+    models/timesformer.py's phase functions (only reached when
+    TimeSformerConfig.use_fused was explicitly enabled).
 
-    * bf16 only: the kernels compute in bf16; f32 bit-parity forwards in
-      the same process must keep the XLA phases untouched.
+    * bf16: the production tier — bf16 carries, bf16 matmuls.
+    * f32: the MIXED tier — f32 residual stream with bf16-input/
+      f32-accumulate matmuls (the kernels already LayerNorm, accumulate,
+      and add residuals in f32; only the matmul operands are bf16). A
+      bit-parity f32+HIGHEST forward must NOT enable use_fused — the
+      engines' policy (should_fuse / use_pallas) keeps "auto" meaning
+      bf16-only, so mixed-fused is opt-in (use_pallas=True).
     * D % 128 == 0: Mosaic can only shape-cast (BB, L, D) <-> (BB*L, D)
       when D is a multiple of the 128-lane tile (vit_tiny's D=192 fails
       with 'unsupported shape cast').
@@ -73,9 +79,15 @@ def fused_ok(x, num_heads: int | None = None) -> bool:
       appended to V up to the 128-lane tile, so hd == 128 leaves no room
       for the ones column (and hd > 128 is out of tile) — e.g. D=768 with
       6 heads must keep XLA."""
-    if x.dtype != jnp.bfloat16 or x.shape[-1] % 128 != 0:
+    if x.dtype not in (jnp.bfloat16, jnp.float32) or x.shape[-1] % 128 != 0:
         return False
     return num_heads is None or x.shape[-1] // num_heads < 128
+
+
+def _budget(rows: int, dtype) -> int:
+    """The VMEM row budgets below assume bf16 (2 B) activations; f32
+    carries (the mixed tier) halve them so blocks still fit."""
+    return rows // 2 if jnp.dtype(dtype).itemsize >= 4 else rows
 
 
 def should_fuse(compute_dtype) -> bool:
@@ -145,7 +157,7 @@ def fused_attn_phase(p_norm, p_attn, x: jnp.ndarray, num_heads: int,
         # so L pads up to the 16-sublane bf16 tile — budgeting on raw L
         # blows VMEM 5x for tiny L (student temporal L=3)
         l_pad = -(-L // 16) * 16
-        block_s = max(1, min(S, 512 // l_pad))
+        block_s = max(1, min(S, _budget(512, x.dtype) // l_pad))
     while S % block_s:
         block_s -= 1
 
@@ -264,7 +276,7 @@ def _fused_spatial_phase_impl(p_norm, p_attn, cls: jnp.ndarray,
     L = N + 1
     if not block_f:
         l_pad = -(-L // 16) * 16
-        block_f = max(1, min(T, 512 // l_pad))
+        block_f = max(1, min(T, _budget(512, x.dtype) // l_pad))
     while T % block_f:
         block_f -= 1
 
@@ -427,7 +439,7 @@ def _spatial_phase_bwd(p_norm, p_attn, cls, x, dgo, dco, num_heads: int,
     L = N + 1
     if not block_f:
         l_pad = -(-L // 16) * 16
-        block_f = max(1, min(T, 300 // l_pad))
+        block_f = max(1, min(T, _budget(300, x.dtype) // l_pad))
     while T % block_f:
         block_f -= 1
     tb = T // block_f
@@ -568,7 +580,7 @@ def fused_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray,
     S, L, D = x.shape
     if not block_s:
         l_pad = -(-L // 16) * 16  # see fused_attn_phase chooser
-        block_s = max(1, min(S, 512 // l_pad))
+        block_s = max(1, min(S, _budget(512, x.dtype) // l_pad))
     while S % block_s:
         block_s -= 1
 
@@ -685,7 +697,7 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
                                   block_n: int = 0) -> jnp.ndarray:
     B, T, N, D = x.shape
     if not block_n:
-        block_n = max(1, min(N, 512 // T))
+        block_n = max(1, min(N, _budget(512, x.dtype) // T))
     while N % block_n:
         block_n -= 1
     nb = N // block_n
@@ -853,7 +865,7 @@ def _temporal_phase_tm_bwd(p_norm, p_attn, p_fc, x, do, num_heads: int,
     if not block_n:
         # tighter than the forward's 512-row budget: the backward holds
         # qkv AND dqkv AND per-head score tensors concurrently
-        block_n = max(1, min(N, 300 // T))
+        block_n = max(1, min(N, _budget(300, x.dtype) // T))
     while N % block_n:
         block_n -= 1
     nb = N // block_n
@@ -1050,6 +1062,7 @@ def _mlp_phase_bwd_kernel(x_ref, do_ref, g_ref, b_ref, w1_ref, b1_ref,
 
 
 def _mlp_phase_bwd(p_norm, p_mlp, x, do, block_m: int, residual: bool):
+    block_m = _budget(block_m, x.dtype)
     shape = x.shape
     D = shape[-1]
     Dh = p_mlp["fc1"]["kernel"].shape[1]
@@ -1150,7 +1163,7 @@ def _fused_mlp_phase_impl(p_norm, p_mlp, x: jnp.ndarray,
     Dh = p_mlp["fc1"]["kernel"].shape[1]
     xm = x.reshape(-1, D)
     M = xm.shape[0]
-    block_m = min(block_m, max(8, M))  # e.g. the split-carry CLS row (M=B)
+    block_m = min(_budget(block_m, x.dtype), max(8, M))  # CLS row: M=B
 
     g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
     b = p_norm["bias"].astype(jnp.float32).reshape(1, D)

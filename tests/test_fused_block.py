@@ -258,7 +258,10 @@ def test_fused_gate_head_dim_128():
     assert not fb.fused_ok(x16, 6)       # hd = 128 -> XLA
     assert not fb.fused_ok(x16, 4)       # hd = 192 -> XLA
     assert not fb.fused_ok(jnp.zeros((2, 4, 192), jnp.bfloat16), 3)  # D%128
-    assert not fb.fused_ok(jnp.zeros((2, 4, 768), jnp.float32), 12)  # dtype
+    # f32 is admitted (the mixed tier: f32 carries, bf16 matmul operands);
+    # other dtypes are not
+    assert fb.fused_ok(jnp.zeros((2, 4, 768), jnp.float32), 12)
+    assert not fb.fused_ok(jnp.zeros((2, 4, 768), jnp.int8), 12)
     # the dispatch path falls back to XLA (identical values) for hd == 128
     D, H = 256, 2
     pn, pa = _attn_params(jax.random.key(6), D)
@@ -337,3 +340,108 @@ def test_attention_logit_margin_under_clamp():
     assert margin < clamp_value() / 4.0, (
         f"pre-softmax |s| max {margin:.1f} approaches the {clamp_value()} "
         "clamp — the fused kernels would saturate; use the XLA path")
+
+
+@pytest.mark.parametrize("S,L,D,H", [(6, 9, 64, 2), (4, 5, 96, 3)])
+def test_fused_attn_phase_f32_carry(S, L, D, H):
+    """Mixed tier: f32 activations through the fused kernels (bf16 matmul
+    operands, f32 LN/accumulate/residual). Output dtype must stay f32 and
+    values match the XLA phase to bf16-operand tolerance."""
+    pn, pa = _attn_params(jax.random.key(30), D)
+    x = jax.random.normal(jax.random.key(31), (S, L, D), jnp.float32)
+    got = fb.fused_attn_phase(pn, pa, x, H)
+    assert got.dtype == jnp.float32
+    want = np.asarray(tsf.attn_phase(pn, pa, x, H))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2, rtol=2e-2)
+
+
+def test_fused_temporal_phase_tm_f32_carry():
+    pn, pa = _attn_params(jax.random.key(32), 64)
+    pfc = {"kernel": 0.1 * jax.random.normal(jax.random.key(33), (64, 64)),
+           "bias": jnp.zeros((64,)) + 0.03}
+    x = jax.random.normal(jax.random.key(34), (2, 5, 6, 64), jnp.float32)
+    got = fb.fused_temporal_phase_tm(pn, pa, pfc, x, 2, block_n=2)
+    assert got.dtype == jnp.float32
+    xt = x.transpose(0, 2, 1, 3).reshape(12, 5, 64)
+    want = np.asarray(tsf.temporal_phase(pn, pa, pfc, xt, 2))
+    want = want.reshape(2, 6, 5, 64).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=5e-2)
+
+
+def test_fused_mlp_phase_f32_carry_and_vjp():
+    pn = {"scale": jnp.ones((64,)) + 0.1, "bias": jnp.zeros((64,)) + 0.05}
+    pm = {"fc1": {"kernel": 0.1 * jax.random.normal(jax.random.key(35), (64, 256)),
+                  "bias": jnp.zeros((256,)) + 0.01},
+          "fc2": {"kernel": 0.1 * jax.random.normal(jax.random.key(36), (256, 64)),
+                  "bias": jnp.zeros((64,)) + 0.02}}
+    x = jax.random.normal(jax.random.key(37), (10, 64), jnp.float32)
+    got = fb.fused_mlp_phase(pn, pm, x, residual=True)
+    assert got.dtype == jnp.float32
+    want = np.asarray(x + tsf.mlp(pm, tsf.layer_norm(pn, x)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2, rtol=2e-2)
+
+    # gradient path with f32 carries (the mixed tier is usable in training)
+    def loss_fused(pm_):
+        return jnp.sum(fb.fused_mlp_phase(pn, pm_, x, residual=True) ** 2)
+
+    def loss_xla(pm_):
+        return jnp.sum((x + tsf.mlp(pm_, tsf.layer_norm(pn, x))) ** 2)
+
+    gf = jax.grad(loss_fused)(pm)
+    gx = jax.grad(loss_xla)(pm)
+    for k in ("fc1", "fc2"):
+        np.testing.assert_allclose(
+            np.asarray(gf[k]["kernel"]), np.asarray(gx[k]["kernel"]),
+            atol=3e-1, rtol=3e-1)
+
+
+def test_forward_f32_carry_fused_matches_xla():
+    """Whole-model mixed tier: use_fused forward on f32 activations == the
+    XLA f32 forward within bf16-matmul-operand (+tanh-GELU) tolerance; the
+    fused_ok gate admits f32 only for D % 128 == 0 models."""
+    import dataclasses
+
+    from dino_video_summarization_transformer_tpu.models import (
+        init_timesformer)
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        num_frames=4, num_classes=0)
+    params = init_timesformer(jax.random.key(40), cfg)
+    x = jax.random.normal(jax.random.key(41), (2, 3, 4, 32, 32), jnp.float32)
+    want = np.asarray(tsf.forward(params, x, cfg, compute_dtype=jnp.float32))
+    cfg_f = dataclasses.replace(cfg, use_fused=True)
+    got = tsf.forward(params, x, cfg_f, compute_dtype=jnp.float32)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-2, rtol=3e-2)
+
+
+def test_scorer_mixed_fused_policy():
+    """use_pallas='auto' keeps f32 scorers on XLA (the validator's oracle
+    tier must not silently change); use_pallas=True opts an f32 scorer
+    into the mixed-fused path."""
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        FrameScorer)
+    from dino_video_summarization_transformer_tpu.models import (
+        init_timesformer)
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=128, depth=1, num_heads=2,
+        num_frames=4, num_classes=0)
+    params = init_timesformer(jax.random.key(50), cfg)
+    auto = FrameScorer(params, cfg, chunk=4, compute_dtype=np.float32,
+                       precision=None)
+    assert not auto.model_cfg.use_fused
+    forced = FrameScorer(params, cfg, chunk=4, compute_dtype=np.float32,
+                         precision=None, use_pallas=True)
+    assert forced.model_cfg.use_fused
+
+    from dino_video_summarization_transformer_tpu.data.windows import (
+        window_indices)
+
+    T = 36
+    frames = np.random.RandomState(0).randn(T, 32, 32, 3).astype(np.float32)
+    loc, glob, eff = window_indices(T, 3, 30)
+    a = auto.score_video(frames, loc, glob, eff)
+    b = forced.score_video(frames, loc, glob, eff)
+    np.testing.assert_allclose(b, a, atol=5e-2, rtol=5e-2)
