@@ -38,7 +38,8 @@ import time
 
 MODES = {
     # mode -> (dtype, precision, global_subsample, teacher_stride,
-    #          score_stride, teacher_img, teacher_interp, use_pallas)
+    #          score_stride, teacher_img, teacher_interp, use_pallas
+    #          [, teacher_dtype])
     "exact": ("bf16", None, 1, 1, 1, 0, "linear", "auto"),
     # exact-mixed: f32 activations/carry with DEFAULT-precision matmuls —
     # on TPU that is bf16-multiply/f32-accumulate, i.e. a far lower noise
@@ -57,6 +58,9 @@ MODES = {
     # the curvature term is what k=8+linear was missing (quality table in
     # BENCH.md / eval_logs/fast_scoring_validation.json)
     "turbo2": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto"),
+    # turbo2-mt: turbo2 with the teacher forward in f32 (mixed tier) —
+    # teacher-side quantization out of the composite at 1/8-of-frames cost
+    "turbo2-mt": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto", "f32"),
     # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
@@ -180,8 +184,10 @@ def main():
                         "adaptive selection)")
     args = p.parse_args()
 
+    mode_spec = MODES[args.mode]
     (dtype_name, precision, subsample, t_stride, s_stride,
-     t_img, t_interp, use_pallas) = MODES[args.mode]
+     t_img, t_interp, use_pallas) = mode_spec[:8]
+    teacher_dtype_name = mode_spec[8] if len(mode_spec) > 8 else None
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -212,6 +218,8 @@ def main():
                          teacher_stride=t_stride, score_stride=s_stride,
                          teacher_img=t_img, teacher_interp=t_interp,
                          use_pallas=use_pallas,
+                         teacher_dtype=(jnp.float32 if teacher_dtype_name
+                                        else None),
                          wire_format=("yuv420q" if args.wire == "yuv420q"
                                       else "yuv420"))
 

@@ -69,6 +69,14 @@ def get_args_parser():
                         "teacher forwards; catmullrom (cubic) sustains "
                         "deeper strides (turbo2 = k=8 + catmullrom, "
                         "quality table in BENCH.md)")
+    p.add_argument("--teacher_precision", default="same",
+                   choices=["same", "float32"],
+                   help="float32 runs the TEACHER forward with f32 "
+                        "activations while students keep --precision "
+                        "(mixed-teacher tier: the teacher softmax is the "
+                        "score's sharpest noise amplifier, and strided "
+                        "modes run the teacher on 1/k of frames — quality "
+                        "table in BENCH.md)")
     p.add_argument("--score_stride", default=1, type=int,
                    help=">1 = score every m-th frame only, interpolate the "
                         "loss curve between (fastest; selection quality "
@@ -134,6 +142,8 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         global_subsample=cli.global_subsample,
         teacher_stride=cli.teacher_stride, score_stride=cli.score_stride,
         teacher_interp=cli.teacher_interp,
+        teacher_dtype=(jnp.float32 if cli.teacher_precision == "float32"
+                       else None),
         wire_format=cli.wire_format if cli.wire_format != "rgb8"
         else "yuv420")
     approx = cli.global_subsample > 1 or cli.teacher_stride > 1 \

@@ -164,6 +164,17 @@ class ScorerConfig:
     student_temp: float = 0.3
     compute_dtype: object = jnp.float32
     precision: Optional[str] = "highest"
+    # Run the TEACHER forward in a different dtype than the students.
+    # teacher_dtype=jnp.float32 with compute_dtype=bfloat16 gives the
+    # mixed-teacher tier: teacher activations/carry in f32 (bf16 matmul
+    # operands via the mixed fused path), students in production bf16.
+    # Rationale: at teacher_temp 0.02 the softmaxed teacher distribution
+    # is the score's sharpest noise amplifier, and in the strided modes
+    # the teacher is a shrinking share of the FLOPs (1/k per frame), so
+    # buying teacher precision is cheap there. None = same as
+    # compute_dtype. Weights for the teacher are cast from the ORIGINAL
+    # (usually f32) params, not the bf16 student copy.
+    teacher_dtype: Optional[object] = None
     global_subsample: int = 1
     teacher_stride: int = 1
     score_stride: int = 1
@@ -255,10 +266,20 @@ class FrameScorer:
                                   and should_fuse(compute_dtype)):
             self.model_cfg = model_cfg = dataclasses.replace(model_cfg,
                                                              use_fused=True)
+        src_params = params
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
         else:
             params = jax.tree.map(jnp.asarray, params)
+        t_dtype = config.teacher_dtype
+        if t_dtype is None or jnp.dtype(t_dtype) == jnp.dtype(compute_dtype):
+            self.teacher_dtype = compute_dtype
+            t_params = params
+        else:
+            self.teacher_dtype = t_dtype
+            # from the ORIGINAL precision, not the student's bf16 copy
+            t_params = jax.tree.map(
+                lambda x: jnp.asarray(x, t_dtype), src_params)
         self.device = config.device
         if self.device is not None:
             # Commit the replica to the pinned device: every jit that
@@ -266,7 +287,12 @@ class FrameScorer:
             # then executes there, so N scorers drive N chips from one
             # process with no collective traffic (videos are independent).
             params = jax.device_put(params, self.device)
+            if t_params is not params:
+                t_params = jax.device_put(t_params, self.device)
+            else:
+                t_params = params
         self.params = params
+        self.t_params = t_params
         self._jitted: Dict[object, object] = {}
         self._dummy_loss: Optional[float] = None
 
@@ -277,7 +303,7 @@ class FrameScorer:
             fn = partial(_with_matmul_precision, self.precision, fn)
         return jax.jit(fn)
 
-    def _gather_views(self, frames, idx, n_view):
+    def _gather_views(self, frames, idx, n_view, dtype=None):
         """Gather (chunk, n_view, H, W, C) windows from the piece span and
         normalize: wire data is converted to normalized compute dtype here,
         INSIDE the chunk kernel — doing it per uploaded piece would enqueue
@@ -287,17 +313,18 @@ class FrameScorer:
         Wire layouts: (N, H, W, 3) RGB (uint8 or pre-normalized float), or
         packed I420 (N, H*3//2, W) uint8 — the codec's planar 4:2:0 at half
         the wire bytes, color-converted here on device (data/yuv.py)."""
+        dtype = self.compute_dtype if dtype is None else dtype
         v = jnp.take(frames, idx.reshape(-1), axis=0)
         v = v.reshape(self.chunk, n_view, *frames.shape[1:])
         if v.ndim == 4:  # packed planes: upsample chroma + color matrix + norm
             unpack = (yuv.unpack_normalize_q
                       if self.config.wire_format == "yuv420q"
                       else yuv.unpack_normalize)
-            v = unpack(v, self.mean, self.std, self.compute_dtype)
+            v = unpack(v, self.mean, self.std, dtype)
         elif v.dtype == jnp.uint8:
             vf = v.astype(jnp.float32) / 255.0
             v = ((vf - self.mean) / self.std)
-        v = v.astype(self.compute_dtype)
+        v = v.astype(dtype)
         return v.transpose(0, 4, 1, 2, 3)  # (B, T, H, W, C) -> (B, C, T, H, W)
 
     def _resize_teacher(self, v):
@@ -309,16 +336,20 @@ class FrameScorer:
             v, (B, C, T, self.teacher_img, self.teacher_img), method="bilinear")
 
     def _build(self, eff_global: int):
-        """Fused exact kernel: both forwards + loss for a chunk of frames."""
+        """Fused exact kernel: both forwards + loss for a chunk of frames.
+        ``params`` is the (student_params, teacher_params) pair — the same
+        tree twice unless teacher_dtype differs."""
         cfg = self.model_cfg
         dtype = self.compute_dtype
+        t_dtype = self.teacher_dtype
 
         def score_chunk(params, frames, loc_idx, glob_idx):
             local = self._gather_views(frames, loc_idx, self.local_size)
             glob = self._resize_teacher(
-                self._gather_views(frames, glob_idx, eff_global))
-            s = tsf.forward(params, local, cfg, compute_dtype=dtype)
-            t = tsf.forward(params, glob, cfg, compute_dtype=dtype)
+                self._gather_views(frames, glob_idx, eff_global,
+                                   dtype=t_dtype))
+            s = tsf.forward(params[0], local, cfg, compute_dtype=dtype)
+            t = tsf.forward(params[1], glob, cfg, compute_dtype=t_dtype)
             return scoring_dino_loss(
                 s, t, teacher_temp=self.teacher_temp,
                 student_temp=self.student_temp)
@@ -326,27 +357,28 @@ class FrameScorer:
         return self._wrap(score_chunk)
 
     def _build_teacher(self, eff_global: int):
-        """(params, frames, glob_idx (chunk, G)) -> (chunk, D) f32 CLS."""
+        """(params_pair, frames, glob_idx (chunk, G)) -> (chunk, D) f32 CLS."""
         cfg = self.model_cfg
-        dtype = self.compute_dtype
+        t_dtype = self.teacher_dtype
 
         def teacher_chunk(params, frames, glob_idx):
             glob = self._resize_teacher(
-                self._gather_views(frames, glob_idx, eff_global))
-            return tsf.forward(params, glob, cfg,
-                               compute_dtype=dtype).astype(jnp.float32)
+                self._gather_views(frames, glob_idx, eff_global,
+                                   dtype=t_dtype))
+            return tsf.forward(params[1], glob, cfg,
+                               compute_dtype=t_dtype).astype(jnp.float32)
 
         return self._wrap(teacher_chunk)
 
     def _build_student(self):
-        """(params, frames, loc_idx (chunk, L), t_feats (chunk, D)) ->
+        """(params_pair, frames, loc_idx (chunk, L), t_feats (chunk, D)) ->
         (chunk,) per-frame losses against the provided teacher features."""
         cfg = self.model_cfg
         dtype = self.compute_dtype
 
         def student_chunk(params, frames, loc_idx, t_feats):
             local = self._gather_views(frames, loc_idx, self.local_size)
-            s = tsf.forward(params, local, cfg, compute_dtype=dtype)
+            s = tsf.forward(params[0], local, cfg, compute_dtype=dtype)
             return scoring_dino_loss(
                 s, t_feats, teacher_temp=self.teacher_temp,
                 student_temp=self.student_temp)
@@ -423,7 +455,7 @@ class FrameScorer:
             buf.fire_until(i0 + K + lookahead)
             span = buf.span(i0, K)
             n = len(rows)
-            args = [self.params, span]
+            args = [(self.params, self.t_params), span]
             for m in mats:
                 rel = m - i0 * P
                 if n < chunk:
@@ -609,7 +641,7 @@ class FrameScorer:
                     else jnp.concatenate(pieces, axis=0))
 
             n = len(crows)
-            args = [self.params, span]
+            args = [(self.params, self.t_params), span]
             for mi in range(n_mats):
                 mat = np.stack([specs[v][2][mi][specs[v][1][j]] + offsets[v]
                                 for (v, j) in crows])
@@ -750,13 +782,13 @@ class FrameScorer:
         if self._dummy_loss is None:
             zeros_local = jnp.zeros(
                 (1, 3, self.local_size, 224, 224), self.compute_dtype)
-            zeros_glob = jnp.zeros((1, 3, 60, 224, 224), self.compute_dtype)
+            zeros_glob = jnp.zeros((1, 3, 60, 224, 224), self.teacher_dtype)
 
             def run():
                 s = tsf.forward(self.params, zeros_local, self.model_cfg,
                                 compute_dtype=self.compute_dtype)
-                t = tsf.forward(self.params, zeros_glob, self.model_cfg,
-                                compute_dtype=self.compute_dtype)
+                t = tsf.forward(self.t_params, zeros_glob, self.model_cfg,
+                                compute_dtype=self.teacher_dtype)
                 return scoring_dino_loss(
                     s[0], t[0], teacher_temp=self.teacher_temp,
                     student_temp=self.student_temp)

@@ -216,6 +216,15 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                      ("k8-prod (bf16)", dict(teacher_stride=8)),
                      ("turbo2-prod (bf16,k8,cr)",
                       dict(teacher_stride=8, teacher_interp="catmullrom")),
+                     # mixed-teacher composites: f32 teacher carries with
+                     # bf16 students — the teacher softmax (temp 0.02) is
+                     # the composite's dominant noise amplifier and in
+                     # strided modes the teacher is only 1/k of the FLOPs
+                     ("turbo-mt-prod (bf16 s, f32 t, k4)",
+                      dict(teacher_stride=4, teacher_dtype=np.float32)),
+                     ("turbo2-mt-prod (bf16 s, f32 t, k8, cr)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32)),
                      ("t-lowres-prod",
                       dict(teacher_stride=4, teacher_img=t_img))):
         if modes and name not in modes:
