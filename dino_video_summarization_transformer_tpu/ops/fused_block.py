@@ -25,6 +25,11 @@ backward saves only each phase's INPUT and re-derives the activations in
 VMEM, flash-attention style. On non-TPU backends all kernels run in
 Pallas interpreter mode, which makes the CPU test suite exercise the same
 code path numerically.
+
+Dtypes: activations may be bf16 (production) or f32 (the MIXED tier —
+LayerNorm, matmul accumulation, and residual adds are f32 either way;
+only the matmul operands are cast to bf16, matching TPU DEFAULT-precision
+XLA matmuls). See fused_ok.
 """
 
 from __future__ import annotations
