@@ -5,6 +5,7 @@ from .mesh import (
     is_main_process,
     replicated,
 )
+from .tp import shard_state, tp_sharding_tree, tp_spec_tree
 
 __all__ = [
     "build_mesh",
@@ -12,4 +13,7 @@ __all__ = [
     "init_distributed_mode",
     "is_main_process",
     "replicated",
+    "shard_state",
+    "tp_sharding_tree",
+    "tp_spec_tree",
 ]

@@ -101,6 +101,7 @@ def make_train_step(
     two_token: bool = False,
     cnn_params=None,
     cnn_distill_weight: float = 0.0,
+    state_sharding=None,
 ):
     """Returns jitted step(state, global_crops, local_crops, lr, wd,
     teacher_momentum, teacher_temp, freeze_flag) -> (state, metrics).
@@ -212,10 +213,15 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    # tensor parallelism: state_sharding (parallel/tp.py tp_sharding_tree
+    # over a concrete TrainState) shards qkv/mlp/head params over the
+    # mesh's model axis; XLA places the TP collectives. Default: the
+    # reference's DP-only protocol (params replicated).
+    state_shard = state_sharding if state_sharding is not None else repl
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, data, None, None, None, None, None),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shard, data, data, None, None, None, None, None),
+        out_shardings=(state_shard, repl),
         donate_argnums=(0,) if donate else (),
     )
 

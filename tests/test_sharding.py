@@ -58,6 +58,48 @@ def test_sharded_step_matches_single_device(tiny_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_tensor_parallel_step_matches_single_device(tiny_setup):
+    """dp x tp 2x2 mesh: Megatron-style param sharding over the model axis
+    (parallel/tp.py) must leave the train step's math unchanged — GSPMD
+    inserts the TP collectives; the update equals the unsharded step."""
+    from dino_video_summarization_transformer_tpu.parallel import (
+        shard_state, tp_sharding_tree, tp_spec_tree)
+
+    cfg, state, core, mask, g, l = tiny_setup
+
+    step_single = make_train_step(cfg, core, mask, n_local_crops=2,
+                                  donate=False)
+    s1, m1 = step_single(state, jnp.asarray(g), jnp.asarray(l),
+                         1e-3, 1e-4, 0.99, 0.04, False)
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh = build_mesh(data=2, model=2, devices=jax.devices()[:4])
+    # the spec tree must actually shard the big tensors
+    specs = tp_spec_tree(state, mesh)
+    spec_leaves = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    n_sharded = sum(1 for s in spec_leaves
+                    if isinstance(s, P) and any(a == "model" for a in s))
+    assert n_sharded >= 10, n_sharded  # qkv/fc1/proj/fc2/head x {s,t,mu,nu}
+
+    state_tp = shard_state(state, mesh)
+    step_tp = make_train_step(cfg, core, mask, n_local_crops=2, mesh=mesh,
+                              donate=False,
+                              state_sharding=tp_sharding_tree(state, mesh))
+    s2, m2 = step_tp(
+        state_tp,
+        jax.device_put(jnp.asarray(g), data_sharding(mesh)),
+        jax.device_put(jnp.asarray(l), data_sharding(mesh)),
+        1e-3, 1e-4, 0.99, 0.04, False)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    # the updated state keeps its TP sharding (no silent replication)
+    qkv = s2.student["backbone"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    for a, b in zip(jax.tree.leaves(s1.student), jax.tree.leaves(s2.student)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
 def test_teacher_tracks_student(tiny_setup):
     cfg, state, core, mask, g, l = tiny_setup
     step = make_train_step(cfg, core, mask, n_local_crops=2, donate=False)
