@@ -180,6 +180,16 @@ class ScorerConfig:
     score_stride: int = 1
     teacher_img: int = 0
     teacher_interp: str = "linear"
+    # Motion-adaptive teacher refinement (alpha > 0 enables): teacher
+    # positions start on the coarse ``teacher_stride`` grid, then every
+    # interval whose summed luma frame-difference exceeds alpha x the
+    # video's mean interval motion gets its midpoint added (stride k -> k/2
+    # locally). The teacher-CLS interpolation error concentrates exactly
+    # where the window content changes fast (cuts/action), so the coarse
+    # stride's FLOP savings are kept on smooth segments and spent where
+    # they matter. Host-side: a strided-pixel |diff| over the wire luma
+    # plane (~ms per video); positions stay deterministic per video.
+    teacher_adaptive: float = 0.0
     use_pallas: str | bool = "auto"
     piece: int = PIECE
     # How 2D-packed frames are interpreted by the device gather kernel:
@@ -231,6 +241,7 @@ class FrameScorer:
         if config.teacher_interp not in ("linear", "catmullrom"):
             raise ValueError(f"teacher_interp={config.teacher_interp!r}")
         self.teacher_interp = config.teacher_interp
+        self.teacher_adaptive = max(0.0, float(config.teacher_adaptive))
         teacher_img = config.teacher_img
         use_pallas = config.use_pallas
         # teacher_img r > 0: the teacher's global windows are bilinearly
@@ -514,6 +525,37 @@ class FrameScorer:
         return self.score_video_async(
             frames, local_idx, global_idx, eff_global).fetch()
 
+    def _teacher_positions(self, pos: np.ndarray,
+                           frames: np.ndarray) -> np.ndarray:
+        """Teacher knot positions (frame timeline) for the strided modes.
+
+        Uniform: every ``teacher_stride``-th scored position plus the last.
+        With ``teacher_adaptive`` alpha > 0, intervals whose summed luma
+        motion exceeds alpha x the mean interval motion are bisected
+        (ScorerConfig docstring; quality rows in BENCH.md)."""
+        k = self.teacher_stride
+        tsel = np.arange(0, len(pos), k)
+        if tsel[-1] != len(pos) - 1:
+            tsel = np.append(tsel, len(pos) - 1)
+        tpos = pos[tsel]
+        if self.teacher_adaptive <= 0.0 or k < 2 or len(tpos) < 2:
+            return tpos
+        motion = _motion_energy(frames, self.config.wire_format)
+        csum = np.concatenate([[0.0], np.cumsum(motion)])
+        intervals = csum[tpos[1:]] - csum[tpos[:-1]]  # motion per interval
+        mean = float(intervals.mean())
+        if mean <= 0.0:
+            return tpos
+        mids = []
+        for i in np.nonzero(intervals > self.teacher_adaptive * mean)[0]:
+            lo, hi = tsel[i], tsel[i + 1]
+            if hi - lo >= 2:
+                mids.append(pos[(lo + hi) // 2])
+        if not mids:
+            return tpos
+        return np.unique(np.concatenate(
+            [tpos, np.asarray(mids, dtype=tpos.dtype)]))
+
     def _score_video_strided_async(self, frames, local_idx, global_idx,
                                    eff_global: int) -> "PendingScore":
         """Teacher-stride / score-stride scoring.
@@ -528,16 +570,13 @@ class FrameScorer:
         tests/test_fast_scoring.py.
         """
         T = frames.shape[0]
-        m, k = self.score_stride, self.teacher_stride
+        m = self.score_stride
         teacher_fn, student_fn = self._get_split(eff_global)
 
         pos = np.arange(0, T, m)
         if pos[-1] != T - 1:
             pos = np.append(pos, T - 1)
-        tpos_sel = np.arange(0, len(pos), k)
-        if tpos_sel[-1] != len(pos) - 1:
-            tpos_sel = np.append(tpos_sel, len(pos) - 1)
-        tpos = pos[tpos_sel]  # teacher positions, frame timeline
+        tpos = self._teacher_positions(pos, frames)  # frame timeline
 
         # pass A: teacher features at tpos. When the whole video fits in
         # the resident-piece budget, both passes share one buffer so each
@@ -729,7 +768,7 @@ class FrameScorer:
         return handles
 
     def _score_group_strided(self, items) -> List["PendingScore"]:
-        m, k = self.score_stride, self.teacher_stride
+        m = self.score_stride
         bufs, locs, globs, eff = self._group_inputs(items)
         teacher_fn, student_fn = self._get_split(eff)
 
@@ -739,11 +778,8 @@ class FrameScorer:
             pos = np.arange(0, T, m)
             if pos[-1] != T - 1:
                 pos = np.append(pos, T - 1)
-            tsel = np.arange(0, len(pos), k)
-            if tsel[-1] != len(pos) - 1:
-                tsel = np.append(tsel, len(pos) - 1)
             poss.append(pos)
-            tposs.append(pos[tsel])
+            tposs.append(self._teacher_positions(pos, it["frames"]))
 
         # pass A: teacher features, chunks shared across videos
         t_specs = [(buf, tpos, [glob])
@@ -869,6 +905,26 @@ def _fetch_outs(outs: List[tuple]) -> np.ndarray:
 def _with_matmul_precision(precision, fn, *args):
     with jax.default_matmul_precision(precision):
         return fn(*args)
+
+
+def _motion_energy(frames: np.ndarray, wire_format: str) -> np.ndarray:
+    """(T,) per-frame luma motion: mean |Y_t - Y_{t-1}| over a 2x-strided
+    pixel grid (motion[0] = 0). Drives the motion-adaptive teacher
+    refinement (ScorerConfig.teacher_adaptive). Host-side numpy on the
+    wire representation — packed I420 frames use their Y plane directly,
+    RGB frames a green-weighted proxy; a few ms per video."""
+    T = frames.shape[0]
+    if frames.ndim == 3:  # packed planar (T, rows, W)
+        rows = frames.shape[1]
+        H = (yuv.frame_height_q(rows, frames.shape[2])
+             if wire_format == "yuv420q" else yuv.frame_height(rows))
+        y = frames[:, :H:2, ::2].astype(np.float32)
+    else:  # (T, H, W, 3) RGB uint8 or normalized float
+        y = frames[:, ::2, ::2, 1].astype(np.float32)
+    motion = np.zeros(T, np.float64)
+    if T > 1:
+        motion[1:] = np.abs(np.diff(y, axis=0)).mean(axis=(1, 2))
+    return motion
 
 
 def _interp_rows(xp: np.ndarray, rows, x: np.ndarray,

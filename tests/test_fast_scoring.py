@@ -205,3 +205,79 @@ def test_score_stride_interpolation_on_reference_losses():
     assert stats[4][0] >= 0.50, stats
     assert stats[2][1] >= 0.97, stats
     assert stats[4][1] >= 0.94, stats
+
+
+def test_teacher_positions_motion_adaptive(tiny_setup):
+    """teacher_adaptive: the coarse stride grid is bisected exactly in the
+    high-motion intervals (and nowhere else); alpha=0 reproduces the
+    uniform grid."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    T = vid.shape[0]
+    pos = np.arange(T)
+
+    # crafted video: static everywhere except frames 40..56 (bright moving
+    # block) -> only the intervals covering 40..56 should refine
+    v = np.full((T, 32, 32, 3), 30, np.uint8)
+    for t in range(40, 56):
+        x = (t - 40) * 2
+        v[t, 8:24, x:x + 6] = 220
+
+    sc_uniform = scorer(teacher_stride=8)
+    sc_adapt = scorer(teacher_stride=8, teacher_adaptive=1.0)
+    tp_u = sc_uniform._teacher_positions(pos, v)
+    tp_a = sc_adapt._teacher_positions(pos, v)
+
+    np.testing.assert_array_equal(
+        tp_u, np.append(np.arange(0, T, 8), T - 1))
+    assert np.array_equal(np.unique(tp_a), tp_a)  # sorted unique
+    assert tp_a[0] == 0 and tp_a[-1] == T - 1
+    added = sorted(set(tp_a) - set(tp_u))
+    assert added, "high-motion intervals must refine"
+    # every added midpoint sits inside (or adjacent to) the motion burst;
+    # the burst spans frames 40..56 -> intervals [40,48) [48,56) refine,
+    # and [32,40)/[56,64) may catch the burst edges
+    assert all(32 <= a <= 64 for a in added), added
+    # static intervals never refine
+    assert not any(a < 32 or a > 64 for a in added)
+
+
+def test_adaptive_refine_beats_pure_stride(tiny_setup):
+    """On an event-structured video, adaptive k=8 must be at least as
+    faithful as uniform k=8 (it only ADDS teacher knots), at a teacher
+    cost between k=8 and k=4."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    T = vid.shape[0]
+    pos = np.arange(T)
+
+    sc8 = scorer(teacher_stride=8, teacher_interp="catmullrom")
+    sca = scorer(teacher_stride=8, teacher_interp="catmullrom",
+                 teacher_adaptive=1.0)
+    out8 = sc8.score_video(vid, loc, glob, eff)
+    outa = sca.score_video(vid, loc, glob, eff)
+    err8 = np.abs(out8 - exact).mean() / exact.mean()
+    erra = np.abs(outa - exact).mean() / exact.mean()
+    assert erra <= err8 * 1.02, (erra, err8)
+
+    n8 = len(sc8._teacher_positions(pos, vid))
+    na = len(sca._teacher_positions(pos, vid))
+    n4 = len(scorer(teacher_stride=4)._teacher_positions(pos, vid))
+    assert n8 < na <= n4 + 1, (n8, na, n4)
+
+
+def test_adaptive_group_matches_per_video(tiny_setup):
+    """Cross-video group scoring with adaptive teacher positions must be
+    loss-identical to the per-video strided path."""
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_video)
+
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    sc = scorer(teacher_stride=8, teacher_adaptive=1.0)
+    vids = [vid, make_video(3, vid.shape[0], 32)]
+    items = [dict(frames=v, local_idx=loc, global_idx=glob,
+                  eff_global=eff, dummy=False, path=f"v{i}",
+                  local_size=3, num_frames=v.shape[0])
+             for i, v in enumerate(vids)]
+    grouped = [h.fetch() for h in sc.score_group_async(items)]
+    solo = [sc.score_video(v, loc, glob, eff) for v in vids]
+    for g, s in zip(grouped, solo):
+        np.testing.assert_allclose(g, s, rtol=1e-6, atol=1e-7)
