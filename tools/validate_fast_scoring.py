@@ -40,6 +40,11 @@ MODE_GRID = {
     "turbo(k4)": dict(teacher_stride=4),
     "k8": dict(teacher_stride=8),
     "k8+cr": dict(teacher_stride=8, teacher_interp="catmullrom"),
+    # motion-adaptive refinement: bisect high-motion stride intervals
+    # (ScorerConfig.teacher_adaptive; alpha=1.0 = intervals above the
+    # video's mean interval motion)
+    "k8+cr+adapt": dict(teacher_stride=8, teacher_interp="catmullrom",
+                        teacher_adaptive=1.0),
     "s4 (round-1 'fast')": dict(global_subsample=4),
     "turbo-max(k4m4)": dict(teacher_stride=4, score_stride=4),
     # low-resolution teacher: global windows bilinearly resized on device;
@@ -225,6 +230,10 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                      ("turbo2-mt-prod (bf16 s, f32 t, k8, cr)",
                       dict(teacher_stride=8, teacher_interp="catmullrom",
                            teacher_dtype=np.float32)),
+                     ("turbo2a-mt-prod (bf16 s, f32 t, k8, cr, adapt)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_adaptive=1.0)),
                      ("t-lowres-prod",
                       dict(teacher_stride=4, teacher_img=t_img))):
         if modes and name not in modes:
