@@ -899,7 +899,24 @@ class PendingScore:
 
 
 def _fetch_outs(outs: List[tuple]) -> np.ndarray:
-    return np.concatenate([np.asarray(o)[:n] for o, n in outs])
+    """Materialize [(device_out, n_valid)] chunk results on the host.
+
+    ONE readback, not one per chunk: every np.asarray is a full host
+    round trip (~40 ms on the bench tunnel), so fetching a 480-frame
+    video's 15 student chunks individually costs ~0.6 s of pure latency
+    — measured as ~15% of turbo's end-to-end time
+    (tools/dispatch_gap_bench.py). A single device-side concat collapses
+    it to one round trip; valid rows are sliced on the host."""
+    if len(outs) == 1:
+        o, n = outs[0]
+        return np.asarray(o)[:n]
+    full = np.asarray(jnp.concatenate([o for o, _ in outs], axis=0))
+    pieces = []
+    off = 0
+    for o, n in outs:
+        pieces.append(full[off:off + n])
+        off += o.shape[0]
+    return np.concatenate(pieces)
 
 
 def _with_matmul_precision(precision, fn, *args):
