@@ -651,14 +651,19 @@ def forward_features(
     # Glue-free fused path (inference): grid tokens stay FRAME-MAJOR
     # (B, T, N, D) for the whole block stack — patch embedding's natural
     # layout — and every phase runs as one Pallas kernel, so no transpose /
-    # CLS-concat / residual-slice copies ever hit HBM. All conditions are
-    # trace-time static; f32 or non-fusable dims keep the XLA path below
-    # (which stays bit-identical to the unfused reference semantics).
+    # CLS-concat / residual-slice copies ever hit HBM. Admits bf16 (the
+    # production tier) AND f32 (the MIXED tier: f32 carries, bf16-operand/
+    # f32-accumulate matmuls — exactly what the per-phase fused dispatch
+    # below would run, minus its f32 XLA glue, whose transpose/CLS copies
+    # cost double in f32). All conditions are trace-time static;
+    # non-fusable dims keep the XLA path below (which stays bit-identical
+    # to the unfused reference semantics — use_fused is never set on the
+    # f32+HIGHEST bit-parity scorers).
     glue_free = (
         cfg.attention_type == "divided_space_time"
         and cfg.use_fused
         and not use_dp
-        and jnp.dtype(compute_dtype) == jnp.bfloat16
+        and jnp.dtype(compute_dtype) in (jnp.bfloat16, jnp.float32)
         and D % 128 == 0
         and D // cfg.num_heads < 128
     )

@@ -445,3 +445,33 @@ def test_scorer_mixed_fused_policy():
     a = auto.score_video(frames, loc, glob, eff)
     b = forced.score_video(frames, loc, glob, eff)
     np.testing.assert_allclose(b, a, atol=5e-2, rtol=5e-2)
+
+
+def test_glue_free_mixed_tier_forward():
+    """The glue-free frame-major path also serves the MIXED tier (f32
+    carries, bf16-operand matmuls): forward(f32, use_fused=True) must
+    match the unfused f32 forward to kernel tolerance — this is the
+    mixed-precision teacher's hot path (ScorerConfig.teacher_dtype)."""
+    import dataclasses
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        num_frames=2, num_classes=0, drop_path_rate=0.0)
+    cfg_fused = dataclasses.replace(cfg, use_fused=True)
+    params = tsf.init_timesformer(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 2, 32, 32), jnp.float32)
+
+    want = np.asarray(tsf.forward(params, x, cfg, compute_dtype=jnp.float32))
+    got = np.asarray(tsf.forward(params, x, cfg_fused,
+                                 compute_dtype=jnp.float32))
+    # f32 carries, only matmul operands rounded -> tighter than full bf16
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    assert not np.array_equal(got, want), "glue-free mixed did not engage"
+
+    # mixed stays STRICTLY closer to the f32 oracle than the full-bf16
+    # glue-free forward (the mixed tier's reason to exist)
+    got16 = np.asarray(tsf.forward(
+        jax.tree.map(lambda a: a.astype(jnp.bfloat16), params),
+        x.astype(jnp.bfloat16), cfg_fused, compute_dtype=jnp.bfloat16),
+        np.float32)
+    assert np.abs(got - want).mean() < np.abs(got16 - want).mean()
