@@ -275,8 +275,14 @@ class FrameScorer:
 
         if use_pallas is True or (use_pallas == "auto"
                                   and should_fuse(compute_dtype)):
-            self.model_cfg = model_cfg = dataclasses.replace(model_cfg,
-                                                             use_fused=True)
+            # fused_wb: the block stack runs the whole-block kernel pair
+            # (f32 intra-block carries; boundaries in the compute dtype):
+            # mixed-tier forwards keep their numerics at 1/3 less carry
+            # HBM, bf16 forwards drop to one carry rounding per block
+            # (floor 6.1% -> 4.2%). Oversized windows fall back to the
+            # per-phase kernels inside the forward's gate.
+            self.model_cfg = model_cfg = dataclasses.replace(
+                model_cfg, use_fused=True, fused_wb=True)
         src_params = params
         if compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)

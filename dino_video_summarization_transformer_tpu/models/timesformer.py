@@ -60,6 +60,16 @@ class TimeSformerConfig:
     # the kernel path, so f32 bit-parity forwards are untouched even with
     # the flag set.
     use_fused: bool = False
+    # Whole-block fusion (ops/fused_block.py fused_divided_block_wb): the
+    # divided block runs as TWO kernels instead of three, with the
+    # intra-block carry in f32 (the post-spatial carry never leaves VMEM)
+    # and block boundaries in the compute dtype. Mixed tier: identical
+    # numerics to the per-phase mixed path at 1/3 less carry HBM traffic;
+    # bf16 tier: 3 -> 1 carry roundings per block (composite floor 6.1% ->
+    # 4.2% measured). Inference engines set it (scoring/eval); the
+    # training step keeps the per-phase custom-VJP kernels (wb's backward
+    # recomputes through them, costing an extra forward).
+    fused_wb: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -675,16 +685,33 @@ def forward_features(
             te = interp_nearest_1d(te, T, axis=1)
         spat_tm = spat_tm + te.astype(compute_dtype)[:, :, None, :]
 
+        from ..ops import fused_block
+
+        # Whole-block kernels (fused_divided_block_wb): the divided block
+        # as TWO kernels instead of three — the temporal half hands the
+        # spatial+MLP kernel an f32 intra-block carry, and the
+        # post-spatial carry never leaves VMEM. Block boundaries stay in
+        # the compute dtype, so values track the per-phase path of the
+        # same tier while the carry HBM traffic drops by 1/3 (mixed tier)
+        # and the in-block roundings drop 3 -> 1 per block (bf16 tier:
+        # measured floor 6.1% -> 4.2% composite). Static gate on the
+        # carry-tensor size.
+        use_wb = cfg.fused_wb and fused_block.wb_fits(T, N, D)
+
         def body(carry, bp):
+            if use_wb:
+                return fused_block.fused_divided_block_wb(
+                    bp, carry[0], carry[1], cfg.num_heads), None
             return divided_block_fused(bp, carry[0], carry[1],
                                        cfg.num_heads), None
 
         (cls_tok, grid_tm), _ = jax.lax.scan(
             body, (cls_tok, spat_tm), params["blocks"])
+        cls_tok = cls_tok.astype(compute_dtype)
         if get_all:
             # reference token order [CLS, (h w t)]: one transpose, at the end
             spat = grid_tm.transpose(0, 2, 1, 3).reshape(B, N * T, D)
-            x = jnp.concatenate([cls_tok, spat], axis=1)
+            x = jnp.concatenate([cls_tok, spat.astype(compute_dtype)], axis=1)
             return layer_norm(params["norm"], x, eps=cfg.norm_eps)
         return layer_norm(params["norm"], cls_tok, eps=cfg.norm_eps)[:, 0]
 

@@ -680,8 +680,12 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         preferred_element_type=jnp.float32)
     fc = (fc + bfc_ref[0]).reshape(BN, T, D)
     fc = jnp.swapaxes(fc, 0, 1)  # back to frame-major (T, BN, D)
-    o_ref[0, :, 0] = (x_ref[0, :, 0] + fc.astype(x_ref.dtype)).astype(
-        o_ref.dtype)
+    if jnp.dtype(o_ref.dtype).itemsize >= 4:
+        # f32 carry out (the wb path): residual add in f32, no rounding
+        o_ref[0, :, 0] = x_ref[0, :, 0].astype(jnp.float32) + fc
+    else:
+        o_ref[0, :, 0] = (x_ref[0, :, 0] + fc.astype(x_ref.dtype)).astype(
+            o_ref.dtype)
 
 
 def fused_temporal_phase_tm(p_norm, p_attn, p_fc, x: jnp.ndarray,
@@ -699,10 +703,12 @@ def fused_temporal_phase_tm(p_norm, p_attn, p_fc, x: jnp.ndarray,
 
 def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
                                   num_heads: int,
-                                  block_n: int = 0) -> jnp.ndarray:
+                                  block_n: int = 0,
+                                  out_dtype=None) -> jnp.ndarray:
     B, T, N, D = x.shape
+    out_dtype = x.dtype if out_dtype is None else out_dtype
     if not block_n:
-        block_n = max(1, min(N, _budget(512, x.dtype) // T))
+        block_n = max(1, min(N, _budget(512, out_dtype) // T))
     while N % block_n:
         block_n -= 1
     nb = N // block_n
@@ -729,7 +735,7 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_temporal_phase_tm_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((B, T, nb, block_n, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, nb, block_n, D), out_dtype),
         grid=(B, nb),
         in_specs=[x_spec, full(1, D), full(1, D), full(D, 3 * D),
                   full(1, 3 * D), full(D, D), full(1, D), full(D, D),
@@ -1198,3 +1204,251 @@ def _fused_mlp_phase_impl(p_norm, p_mlp, x: jnp.ndarray,
     return out.reshape(shape)
 
 
+
+
+
+
+# ---------------------------------------------------------------------------
+# WHOLE-BLOCK (wb) divided block: TWO kernels per block with an f32
+# intra-block carry; block boundaries stay in the caller's compute dtype.
+#
+#   temporal kernel:     x (boundary dtype) -> x1 f32
+#                        (fused_temporal_phase_tm, out_dtype=f32)
+#   spatial+MLP kernel:  x1 f32 -> out (boundary dtype) — the spatial
+#                        half, its residual, AND the grid MLP in one
+#                        kernel; x2 (the post-spatial carry) never leaves
+#                        VMEM. The CLS row (B, 1, D) is updated
+#                        caller-side in f32 (negligible work).
+#
+# Mixed tier (f32 boundaries): numerics == the per-phase mixed path (all
+# carries f32 either way) with the carry HBM traffic cut by 1/3 — the
+# fastest shape of the quality teacher. bf16 tier: in-block carry
+# roundings drop 3 -> 1 per block; composite floor measured 6.1% -> 4.2%
+# on the production validator. NOT the free lunch a naive emulation
+# suggests: bf16 block boundaries DO cost quality (3.7% vs the mixed
+# tier's 1.0% composite) — an earlier XLA emulation that claimed
+# otherwise was invalidated because --xla_allow_excess_precision lets XLA
+# elide bf16 round-trip casts (see tools/wb_quality_probe.py, which now
+# uses lax.reduce_precision).
+#
+# A single whole-window mega-kernel was tried and rejected: the full
+# (T, N, D) window + transients per grid instance overflows VMEM at
+# teacher shapes, and chunking over N hits Mosaic's 8-sublane alignment
+# limits.
+#
+# Scope: inference forwards (the scoring hot path). Differentiable via a
+# custom VJP that recomputes through the per-phase VJP kernels; the
+# training step keeps the per-phase path (TimeSformerConfig.fused_wb is
+# never set there).
+# ---------------------------------------------------------------------------
+
+WB_SCRATCH_LIMIT = 28 * 1024 * 1024  # window f32 carry cap for wb_fits
+
+
+def _ln_rows(xf, g_ref, b_ref):
+    """LayerNorm of f32 rows against (1, D) scale/bias refs -> bf16."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    return (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
+
+
+def _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H):
+    """y (S, L, D) bf16 -> proj(mhsa(y)) + bias, (S, L, D) f32. The same
+    max-free MXU-denominator softmax as the per-phase kernels."""
+    S, L, D = y.shape
+    hd = D // H
+    scale = hd ** -0.5
+    qkv = _dot(
+        y.reshape(S * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(S, L, 3 * D)
+    ones = jnp.ones((S, L, 128 - hd), jnp.bfloat16)
+    head_outs = []
+    for h in range(H):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        s = _dot(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        pr = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        acc = _dot(
+            pr, jnp.concatenate([v, ones], axis=2),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        head_outs.append(
+            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+    a = jnp.concatenate(head_outs, axis=2).reshape(S * L, D)
+    proj = _dot(
+        a, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (proj + bproj_ref[0]).reshape(S, L, D)
+
+
+def _mlp_rows(xf, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref):
+    """xf (M, D) f32 -> MLP(LN(xf)), (M, D) f32 (tanh-GELU, see
+    _mlp_phase_kernel)."""
+    y = _ln_rows(xf, g_ref, b_ref)
+    h = _dot(
+        y, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = _gelu_tanh(h + b1_ref[0]).astype(jnp.bfloat16)
+    out = _dot(
+        h, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out + b2_ref[0]
+
+
+def wb_fits(T: int, N: int, D: int) -> bool:
+    """Static gate for the wb path (keeps the f32 intra-block carry tensor
+    a sane size; anything bigger falls back to the per-phase kernels)."""
+    return T * N * D * 4 <= WB_SCRATCH_LIMIT
+
+
+def _spatial_mlp_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                        wproj_ref, bproj_ref, mg_ref, mb_ref, mw1_ref,
+                        mb1_ref, mw2_ref, mb2_ref, go_ref, co_ref, *,
+                        num_heads: int):
+    """Spatial half + residual + grid MLP for a block of frames.
+
+    x_ref (1, F, N, D) f32: post-temporal carry. go_ref (1, F, N, D) bf16:
+    x2 + MLP(LN(x2)) where x2 = x + spatial residual — x2 exists only in
+    VMEM. co_ref (1, 1, F, D) f32: raw CLS rows (caller averages over
+    frames)."""
+    _, F, N, D = x_ref.shape
+    H = num_heads
+    hd = D // H
+    assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
+    L = N + 1
+
+    x = x_ref[0]  # (F, N, D) f32
+    cls = jnp.broadcast_to(cls_ref[0].reshape(1, 1, D).astype(jnp.float32),
+                           (F, 1, D))
+    seq = jnp.concatenate([cls, x], axis=1)  # (F, L, D) f32
+    y = _ln_rows(seq, g_ref, b_ref)
+    res = _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H)
+
+    co_ref[0, 0] = res[:, 0, :].astype(co_ref.dtype)
+    x2 = x + res[:, 1:, :]  # (F, N, D) f32 — never leaves VMEM
+    mo = _mlp_rows(x2.reshape(F * N, D), mg_ref, mb_ref, mw1_ref, mb1_ref,
+                   mw2_ref, mb2_ref)
+    go_ref[0] = (x2 + mo.reshape(F, N, D)).astype(go_ref.dtype)
+
+
+def _fused_spatial_mlp_impl(p_norm, p_attn, p_norm2, p_mlp, cls, x,
+                            num_heads: int, block_f: int = 0,
+                            out_dtype=jnp.bfloat16):
+    """x (B, T, N, D) f32 -> (grid ``out_dtype`` (B, T, N, D), cls rows
+    f32 (B, T, D)). See _spatial_mlp_kernel."""
+    B, T, N, D = x.shape
+    L = N + 1
+    Dh = p_mlp["fc1"]["kernel"].shape[1]
+    if not block_f:
+        l_pad = -(-L // 16) * 16
+        block_f = max(1, min(T, _budget(512, x.dtype) // l_pad))
+    while T % block_f:
+        block_f -= 1
+
+    g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
+    b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
+    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    bqkv = p_attn["qkv"].get("bias")
+    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * D)
+    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+    bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
+    mg = p_norm2["scale"].astype(jnp.float32).reshape(1, D)
+    mb = p_norm2["bias"].astype(jnp.float32).reshape(1, D)
+    mw1 = p_mlp["fc1"]["kernel"].astype(jnp.bfloat16)
+    mb1 = p_mlp["fc1"]["bias"].astype(jnp.float32).reshape(1, Dh)
+    mw2 = p_mlp["fc2"]["kernel"].astype(jnp.bfloat16)
+    mb2 = p_mlp["fc2"]["bias"].astype(jnp.float32).reshape(1, D)
+
+    x_spec = pl.BlockSpec((1, block_f, N, D), lambda bi, ti: (bi, ti, 0, 0),
+                          memory_space=pltpu.VMEM)
+    cls_spec = pl.BlockSpec((1, 1, D), lambda bi, ti: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    co_spec = pl.BlockSpec((1, 1, block_f, D), lambda bi, ti: (bi, ti, 0, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, block_f, N, D), lambda bi, ti: (bi, ti, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda *s: pl.BlockSpec(s, lambda bi, ti: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    grid_out, cls_rows = pl.pallas_call(
+        functools.partial(_spatial_mlp_kernel, num_heads=num_heads),
+        out_shape=(jax.ShapeDtypeStruct((B, T, N, D), out_dtype),
+                   jax.ShapeDtypeStruct((B, T // block_f, block_f, D),
+                                        jnp.float32)),
+        grid=(B, T // block_f),
+        in_specs=[x_spec, cls_spec, full(1, D), full(1, D), full(D, 3 * D),
+                  full(1, 3 * D), full(D, D), full(1, D), full(1, D),
+                  full(1, D), full(D, Dh), full(1, Dh), full(Dh, D),
+                  full(1, D)],
+        out_specs=(o_spec, co_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * L * (8 * D * D + 4 * L * D) + 4 * B * T * N * D * Dh,
+            bytes_accessed=3 * B * T * N * D * 4,
+            transcendentals=B * T * (L * L + N * Dh // 64),
+        ),
+        interpret=_interpret(),
+    )(x, cls, g, b, wqkv, bqkv, wproj, bproj, mg, mb, mw1, mb1, mw2, mb2)
+    return grid_out, cls_rows.reshape(B, T, D)
+
+
+def fused_divided_block_wb(p, cls, grid_tm, num_heads: int):
+    """Whole divided block with f32 intra-block carries and bf16 block
+    boundaries: drop-in for divided_block_fused on the inference path.
+    cls (B, 1, D) bf16; grid_tm (B, T, N, D) bf16. Returns (cls, grid_tm)
+    bf16. Differentiable (backward recomputes through the per-phase VJP
+    kernels)."""
+    return _wb_vjp(num_heads)(p, cls, grid_tm)
+
+
+def _fused_divided_block_wb_impl(p, cls, grid_tm, num_heads: int):
+    # temporal half: boundary dtype in, f32 intra-block carry out
+    x1 = _fused_temporal_phase_tm_impl(
+        p["temporal_norm1"], p["temporal_attn"], p["temporal_fc"], grid_tm,
+        num_heads, out_dtype=jnp.float32)
+    # spatial half + grid MLP in one kernel: f32 carry in, boundary dtype
+    # out; x2 (post-spatial carry) never leaves VMEM
+    grid_out, cls_frames = _fused_spatial_mlp_impl(
+        p["norm1"], p["attn"], p["norm2"], p["mlp"], cls, x1, num_heads,
+        out_dtype=grid_tm.dtype)
+    # CLS row in f32 end to end (B*1 tokens — negligible, plain XLA)
+    clsf = cls.astype(jnp.float32) + cls_frames.mean(axis=1, keepdims=True)
+    g2 = p["norm2"]["scale"].astype(jnp.float32)
+    b2 = p["norm2"]["bias"].astype(jnp.float32)
+    mu = jnp.mean(clsf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(clsf - mu), axis=-1, keepdims=True)
+    yn = (clsf - mu) * jax.lax.rsqrt(var + _LN_EPS) * g2 + b2
+    h = yn.astype(jnp.bfloat16) @ p["mlp"]["fc1"]["kernel"].astype(
+        jnp.bfloat16)
+    h = _gelu_tanh(h.astype(jnp.float32)
+                   + p["mlp"]["fc1"]["bias"].astype(jnp.float32))
+    mo = h.astype(jnp.bfloat16) @ p["mlp"]["fc2"]["kernel"].astype(
+        jnp.bfloat16)
+    clsf = clsf + mo.astype(jnp.float32) + p["mlp"]["fc2"]["bias"].astype(
+        jnp.float32)
+    return clsf.astype(cls.dtype), grid_out
+
+
+def _wb_vjp(num_heads: int):
+    @jax.custom_vjp
+    def f(p, cls, grid_tm):
+        return _fused_divided_block_wb_impl(p, cls, grid_tm, num_heads)
+
+    def f_fwd(p, cls, grid_tm):
+        return f(p, cls, grid_tm), (p, cls, grid_tm)
+
+    def f_bwd(res, cots):
+        from ..models.timesformer import divided_block_fused
+
+        p, cls, grid_tm = res
+        _, vjp = jax.vjp(
+            lambda p_, c_, g_: divided_block_fused(p_, c_, g_, num_heads),
+            p, cls, grid_tm)
+        return vjp(cots)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f

@@ -475,3 +475,102 @@ def test_glue_free_mixed_tier_forward():
         x.astype(jnp.bfloat16), cfg_fused, compute_dtype=jnp.bfloat16),
         np.float32)
     assert np.abs(got - want).mean() < np.abs(got16 - want).mean()
+
+
+def test_whole_block_kernel_matches_phases():
+    """fused_divided_block_wb (one kernel per block) == the per-phase
+    composition divided_block_fused, and CLOSER to the f32 oracle: its f32
+    VMEM carries skip the per-phase path's 3 bf16 carry roundings per
+    block."""
+    D, H, T, N = 128, 2, 4, 4
+    key = jax.random.key(0)
+    cfg1 = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=D, depth=1, num_heads=H,
+        num_frames=T, num_classes=0, drop_path_rate=0.0)
+    p = jax.tree.map(lambda a: a[0],
+                     tsf.init_timesformer(key, cfg1)["blocks"])
+    cls = jax.random.normal(jax.random.key(1), (2, 1, D), jnp.bfloat16)
+    grid = jax.random.normal(jax.random.key(2), (2, T, N, D), jnp.bfloat16)
+
+    c_wb, g_wb = fb.fused_divided_block_wb(p, cls, grid, H)
+    assert c_wb.shape == cls.shape and g_wb.shape == grid.shape
+    c_ph, g_ph = tsf.divided_block_fused(p, cls, grid, H)
+
+    # f32 oracle: the unfused divided block on the flat (B, N*T, D) layout
+    p32 = jax.tree.map(lambda a: a.astype(jnp.float32), p)
+    grid_flat = grid.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
+        2, N * T, D)
+    c32, g32 = tsf.divided_block(p32, cls.astype(jnp.float32), grid_flat,
+                                 2, T, 2, 2, H)
+    g32 = g32.reshape(2, N, T, D).transpose(0, 2, 1, 3)
+
+    for wb, ph, oracle in [(c_wb, c_ph, c32), (g_wb, g_ph, g32)]:
+        wb = np.asarray(wb, np.float32)
+        ph = np.asarray(ph, np.float32)
+        oracle = np.asarray(oracle, np.float32)
+        np.testing.assert_allclose(wb, ph, atol=5e-2, rtol=5e-2)
+        assert np.abs(wb - oracle).mean() <= np.abs(ph - oracle).mean() * 1.05
+
+
+def test_whole_block_forward_and_grad():
+    """forward(fused_wb=True) engages the whole-block kernel (values within
+    kernel tolerance of the phase path) and jax.grad works through its
+    recompute-via-phase-VJPs backward."""
+    import dataclasses
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        num_frames=2, num_classes=0, drop_path_rate=0.0)
+    cfg_ph = dataclasses.replace(cfg, use_fused=True)
+    cfg_wb = dataclasses.replace(cfg, use_fused=True, fused_wb=True)
+    params = tsf.init_timesformer(jax.random.key(0), cfg)
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 2, 32, 32), jnp.bfloat16)
+
+    out_ph = np.asarray(tsf.forward(params16, x, cfg_ph,
+                                    compute_dtype=jnp.bfloat16), np.float32)
+    out_wb = np.asarray(tsf.forward(params16, x, cfg_wb,
+                                    compute_dtype=jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(out_wb, out_ph, atol=1e-1, rtol=1e-1)
+    assert not np.array_equal(out_wb, out_ph), "wb kernel did not engage"
+
+    co = jax.random.normal(jax.random.key(2), (2, 128), jnp.float32)
+
+    def loss(c):
+        return lambda p: jnp.sum(tsf.forward(
+            p, x, c, compute_dtype=jnp.bfloat16).astype(jnp.float32) * co)
+
+    g_wb = jax.grad(loss(cfg_wb))(params)
+    g_ph = jax.grad(loss(cfg_ph))(params)
+    for (pth, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g_wb),
+                                jax.tree_util.tree_leaves_with_path(g_ph)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.2, (
+            jax.tree_util.keystr(pth), np.abs(a - b).max() / denom)
+
+
+def test_whole_block_mixed_prep():
+    """compute f32 + fused_wb: the wb-mixed tier (f32 params, prep, AND
+    block boundaries — only kernel-internal matmul operands round to
+    bf16). Must be strictly closer to the f32 oracle than the all-bf16 wb
+    forward."""
+    import dataclasses
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        num_frames=2, num_classes=0, drop_path_rate=0.0)
+    cfg_wb = dataclasses.replace(cfg, use_fused=True, fused_wb=True)
+    params = tsf.init_timesformer(jax.random.key(0), cfg)
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 2, 32, 32), jnp.float32)
+
+    want = np.asarray(tsf.forward(params, x, cfg, compute_dtype=jnp.float32))
+    wb_mixed = np.asarray(tsf.forward(params, x, cfg_wb,
+                                      compute_dtype=jnp.float32))
+    wb_bf16 = np.asarray(tsf.forward(
+        params16, x.astype(jnp.bfloat16), cfg_wb,
+        compute_dtype=jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(wb_mixed, want, atol=5e-2, rtol=5e-2)
+    assert np.abs(wb_mixed - want).mean() < np.abs(wb_bf16 - want).mean()

@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Quality probe for a WHOLE-BLOCK fused teacher (XLA emulation, no kernel).
+"""Quality probe for whole-block fused teachers (XLA emulation, no kernel).
 
-Question: if the divided block ran as ONE Pallas kernel — f32 carries in
-VMEM, bf16 only at the block boundaries in HBM — would the teacher keep
-the mixed tier's quality (turbo-mt: composite 6x below the bf16 floor on
-the production arch) at near-bf16 HBM cost?
+Question: if the divided block kept its carry in f32 *within* the block
+and rounded to bf16 only at block boundaries, would the teacher keep the
+mixed tier's quality at near-bf16 HBM cost?
 
-This script answers it WITHOUT writing the kernel: it runs the teacher
-forward with f32 carries inside each block (the fused per-phase kernels,
-mixed tier — kernel-internal bf16 roundings included) but casts the
-(cls, grid) carry to bfloat16 between blocks, i.e. exactly the numerics
-a whole-block kernel would produce. Scores are compared against the
-exact f32 oracle on the validator corpus, alongside the shipped teacher
-variants.
+MEASURED ANSWER: **no** — bf16 block boundaries cost real quality
+(composite 3.7% vs the mixed tier's 1.0% on ViT-B@224, via the real wb
+kernels). An earlier version of this probe claimed they were free; that
+run was an artifact: it emulated the boundary with
+``x.astype(bf16).astype(f32)``, and the terminal's
+``--xla_allow_excess_precision=true`` lets XLA ELIDE such round-trip
+casts — the "wb" row was bit-identical to pure mixed. The probe now uses
+``jax.lax.reduce_precision``, which XLA must honor. Lesson recorded here
+because it is exactly the kind of trap a numerics emulation falls into
+on this stack.
+
+The production conclusion lives in ops/fused_block.py: the wb two-kernel
+block keeps f32 boundaries for the mixed tier (same numerics, 1/3 less
+carry HBM) and bf16 boundaries only for the bf16 tier (floor 6.1% ->
+4.2%).
 
 Run on the TPU (the kernels need the real backend for honest numerics,
 though interpret mode works too).
@@ -65,16 +72,22 @@ def teacher_forward_wb(params, x, cfg, boundary_dtype=jnp.bfloat16):
     spat = spat + te.astype(jnp.float32)
     spat = spat.reshape(B, N * T, D)
 
-    # the block boundary: what a whole-block kernel would round to HBM
-    cls_tok = cls_tok.astype(boundary_dtype).astype(jnp.float32)
-    spat = spat.astype(boundary_dtype).astype(jnp.float32)
+    # The block boundary rounding. NOT astype(bf16).astype(f32): under
+    # --xla_allow_excess_precision (set on this terminal) XLA may elide
+    # the round trip entirely — reduce_precision is the primitive XLA
+    # must honor (bf16 = 8 exponent bits, 7 mantissa bits).
+    def _round(v):
+        if jnp.dtype(boundary_dtype) == jnp.float32:
+            return v
+        return jax.lax.reduce_precision(v, 8, 7)
+
+    cls_tok = _round(cls_tok)
+    spat = _round(spat)
 
     def body(carry, bp):
         c, g = tsf.divided_block(bp, carry[0], carry[1], B, T, H, W,
                                  cfg.num_heads, use_fused=True)
-        c = c.astype(boundary_dtype).astype(jnp.float32)
-        g = g.astype(boundary_dtype).astype(jnp.float32)
-        return (c, g), None
+        return (_round(c), _round(g)), None
 
     (cls_tok, _), _ = jax.lax.scan(body, (cls_tok, spat), params["blocks"])
     return tsf.layer_norm(params["norm"], cls_tok, eps=cfg.norm_eps)[:, 0]
