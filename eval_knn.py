@@ -103,7 +103,9 @@ def extract_feature_pipeline(args):
         should_fuse)
 
     # frozen-backbone forwards only -> fused Pallas phases are safe
-    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype))
+    # (whole-block kernels: one carry rounding per block instead of 3)
+    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype),
+                           fused_wb=True)
     mesh = build_mesh() if jax.device_count() > 1 else None
 
     print("Extracting features for train set...")

@@ -104,7 +104,9 @@ def eval_linear(args):
         should_fuse)
 
     # frozen-backbone forwards only -> fused Pallas phases are safe
-    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype))
+    # (whole-block kernels: one carry rounding per block instead of 3)
+    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype),
+                           fused_wb=True)
     scaled_lr = args.lr * args.batch_size_per_gpu * jax.device_count() / 256.0
     state, train_step, eval_step, epoch_lr = make_linear_probe(
         params, mcfg, num_labels=args.num_labels, lr=scaled_lr,

@@ -115,7 +115,9 @@ def evaluation(args):
         should_fuse)
 
     # eval-only forwards: fused is safe
-    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(compute_dtype))
+    # (whole-block kernels: one carry rounding per block instead of 3)
+    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(compute_dtype),
+                           fused_wb=True)
 
     return evaluate_selection(
         dataset, params, mcfg, num_frames=args.num_frames,
