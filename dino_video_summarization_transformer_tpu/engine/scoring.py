@@ -180,6 +180,20 @@ class ScorerConfig:
     score_stride: int = 1
     teacher_img: int = 0
     teacher_interp: str = "linear"
+    # WHAT the strided modes interpolate between teacher knots:
+    # "cls" (default) interpolates the teacher's raw CLS features and
+    # softmaxes the result inside the loss; "probs" softmaxes AT THE KNOTS
+    # (inside the teacher kernel, at teacher_temp) and interpolates the
+    # probability vectors. The scoring loss -sum(p_t * log_softmax(s)) is
+    # LINEAR in p_t, so prob interpolation is exactly interpolation of the
+    # loss the student would incur against each knot teacher. Quantified
+    # and INVALIDATED as a default candidate (tools/validate_fast_scoring
+    # "+pt" rows, tiny@32: k4 2.3% vs cls 1.9%, k8+cr 4.7% vs 3.1% mean
+    # rel err): at temp 0.02 adjacent knot distributions are near-disjoint
+    # one-hots, so their mixture is bimodal while the true intermediate
+    # teacher is a single sharp mode — CLS-space interpolation tracks that
+    # mode, prob-space cannot. Kept as an experimental knob.
+    teacher_target: str = "cls"
     # Motion-adaptive teacher refinement (alpha > 0 enables): teacher
     # positions start on the coarse ``teacher_stride`` grid, then every
     # interval whose summed luma frame-difference exceeds alpha x the
@@ -241,6 +255,9 @@ class FrameScorer:
         if config.teacher_interp not in ("linear", "catmullrom"):
             raise ValueError(f"teacher_interp={config.teacher_interp!r}")
         self.teacher_interp = config.teacher_interp
+        if config.teacher_target not in ("cls", "probs"):
+            raise ValueError(f"teacher_target={config.teacher_target!r}")
+        self.teacher_target = config.teacher_target
         self.teacher_adaptive = max(0.0, float(config.teacher_adaptive))
         teacher_img = config.teacher_img
         use_pallas = config.use_pallas
@@ -374,30 +391,45 @@ class FrameScorer:
         return self._wrap(score_chunk)
 
     def _build_teacher(self, eff_global: int):
-        """(params_pair, frames, glob_idx (chunk, G)) -> (chunk, D) f32 CLS."""
+        """(params_pair, frames, glob_idx (chunk, G)) -> (chunk, D) f32
+        teacher rows: raw CLS features (teacher_target="cls"), or their
+        teacher_temp softmax ("probs" — the knot distributions the strided
+        modes then interpolate directly)."""
         cfg = self.model_cfg
         t_dtype = self.teacher_dtype
+        probs = self.teacher_target == "probs"
 
         def teacher_chunk(params, frames, glob_idx):
             glob = self._resize_teacher(
                 self._gather_views(frames, glob_idx, eff_global,
                                    dtype=t_dtype))
-            return tsf.forward(params[1], glob, cfg,
-                               compute_dtype=t_dtype).astype(jnp.float32)
+            t = tsf.forward(params[1], glob, cfg,
+                            compute_dtype=t_dtype).astype(jnp.float32)
+            if probs:
+                t = jax.nn.softmax(t / self.teacher_temp, axis=-1)
+            return t
 
         return self._wrap(teacher_chunk)
 
     def _build_student(self):
-        """(params_pair, frames, loc_idx (chunk, L), t_feats (chunk, D)) ->
-        (chunk,) per-frame losses against the provided teacher features."""
+        """(params_pair, frames, loc_idx (chunk, L), t_rows (chunk, D)) ->
+        (chunk,) per-frame losses against the provided teacher rows
+        (CLS features, or ready probabilities when teacher_target="probs" —
+        the loss is linear in the probs, so interpolated rows are valid
+        as-is)."""
         cfg = self.model_cfg
         dtype = self.compute_dtype
+        probs = self.teacher_target == "probs"
 
-        def student_chunk(params, frames, loc_idx, t_feats):
+        def student_chunk(params, frames, loc_idx, t_rows):
             local = self._gather_views(frames, loc_idx, self.local_size)
             s = tsf.forward(params[0], local, cfg, compute_dtype=dtype)
+            if probs:
+                logp = jax.nn.log_softmax(
+                    s.astype(jnp.float32) / self.student_temp, axis=-1)
+                return -jnp.sum(t_rows.astype(jnp.float32) * logp, axis=-1)
             return scoring_dino_loss(
-                s, t_feats, teacher_temp=self.teacher_temp,
+                s, t_rows, teacher_temp=self.teacher_temp,
                 student_temp=self.student_temp)
 
         return self._wrap(student_chunk)

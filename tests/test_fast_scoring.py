@@ -281,3 +281,78 @@ def test_adaptive_group_matches_per_video(tiny_setup):
     solo = [sc.score_video(v, loc, glob, eff) for v in vids]
     for g, s in zip(grouped, solo):
         np.testing.assert_allclose(g, s, rtol=1e-6, atol=1e-7)
+
+
+def test_teacher_target_probs_exact_at_knots(tiny_setup):
+    """teacher_target="probs" softmaxes at the knots and interpolates the
+    probability vectors; AT the knot positions the loss must match exact
+    scoring (the softmax-then-CE path is identical there)."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    sc = scorer(teacher_stride=4, teacher_target="probs")
+    out = sc.score_video(vid, loc, glob, eff)
+    knots = sc._teacher_positions(
+        np.arange(vid.shape[0]), vid).astype(int)
+    np.testing.assert_allclose(out[knots], exact[knots], rtol=1e-5,
+                               atol=1e-7)
+    assert _spearman(exact, out) >= 0.95
+
+
+def test_teacher_target_probs_is_loss_interpolation(tiny_setup):
+    """The scoring loss is LINEAR in the teacher probabilities, so
+    prob-target linear interpolation must equal interpolating the losses
+    the student would incur against each knot teacher — checked by hand
+    from the knot teacher distributions."""
+    import jax
+    import jax.numpy as jnp
+
+    from dino_video_summarization_transformer_tpu.models import (
+        timesformer as tsf, vit_tiny_config)
+
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    k = 4
+    sc = scorer(teacher_stride=k, teacher_target="probs")
+    out = sc.score_video(vid, loc, glob, eff)
+
+    cfg = sc.model_cfg
+    mean = np.array([0.45] * 3, np.float32)
+    std = np.array([0.225] * 3, np.float32)
+    vf = ((vid.astype(np.float32) / 255.0) - mean) / std
+
+    def cls(frame_idx_rows):
+        wins = np.stack([vf[r] for r in frame_idx_rows]).transpose(
+            0, 4, 1, 2, 3)
+        return np.asarray(tsf.forward(sc.params, jnp.asarray(wins), cfg,
+                                      compute_dtype=jnp.float32))
+
+    # mid position between the first two knots
+    i = k // 2
+    t_a = cls([glob[0]])[0]
+    t_b = cls([glob[k]])[0]
+    s_i = cls([loc[i][: sc.local_size]])[0]
+    logp = jax.nn.log_softmax(jnp.asarray(s_i) / sc.student_temp)
+    losses = [-float(jnp.sum(
+        jax.nn.softmax(jnp.asarray(t) / sc.teacher_temp) * logp))
+        for t in (t_a, t_b)]
+    w = i / k
+    expect = (1 - w) * losses[0] + w * losses[1]
+    np.testing.assert_allclose(out[i], expect, rtol=1e-4)
+
+
+def test_teacher_target_probs_group_matches_per_video(tiny_setup):
+    """Cross-video group scoring must be loss-identical to per-video with
+    the probs teacher target (the extra rows carry probabilities)."""
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_video)
+
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    sc = scorer(teacher_stride=8, teacher_interp="catmullrom",
+                teacher_target="probs")
+    vids = [vid, make_video(5, vid.shape[0], 32)]
+    items = [dict(frames=v, local_idx=loc, global_idx=glob,
+                  eff_global=eff, dummy=False, path=f"v{i}",
+                  local_size=3, num_frames=v.shape[0])
+             for i, v in enumerate(vids)]
+    grouped = [h.fetch() for h in sc.score_group_async(items)]
+    solo = [sc.score_video(v, loc, glob, eff) for v in vids]
+    for g, s in zip(grouped, solo):
+        np.testing.assert_allclose(g, s, rtol=1e-6, atol=1e-7)

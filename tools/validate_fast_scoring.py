@@ -45,6 +45,13 @@ MODE_GRID = {
     # video's mean interval motion)
     "k8+cr+adapt": dict(teacher_stride=8, teacher_interp="catmullrom",
                         teacher_adaptive=1.0),
+    # prob-target interpolation: softmax at the teacher knots, interpolate
+    # the probability vectors (the loss is linear in them — exactly
+    # interpolating the per-knot losses; ScorerConfig.teacher_target)
+    "k4+pt": dict(teacher_stride=4, teacher_target="probs"),
+    "k8+pt": dict(teacher_stride=8, teacher_target="probs"),
+    "k8+cr+pt": dict(teacher_stride=8, teacher_interp="catmullrom",
+                     teacher_target="probs"),
     "s4 (round-1 'fast')": dict(global_subsample=4),
     "turbo-max(k4m4)": dict(teacher_stride=4, score_stride=4),
     # low-resolution teacher: global windows bilinearly resized on device;
@@ -234,6 +241,13 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                       dict(teacher_stride=8, teacher_interp="catmullrom",
                            teacher_dtype=np.float32,
                            teacher_adaptive=1.0)),
+                     ("turbo-mt-pt-prod (bf16 s, f32 t, k4, probs)",
+                      dict(teacher_stride=4, teacher_dtype=np.float32,
+                           teacher_target="probs")),
+                     ("turbo2-mt-pt-prod (bf16 s, f32 t, k8, cr, probs)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_target="probs")),
                      ("t-lowres-prod",
                       dict(teacher_stride=4, teacher_img=t_img))):
         if modes and name not in modes:
