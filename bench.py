@@ -48,7 +48,7 @@ import time
 MODES = {
     # mode -> (dtype, precision, global_subsample, teacher_stride,
     #          score_stride, teacher_img, teacher_interp, use_pallas
-    #          [, teacher_dtype])
+    #          [, teacher_dtype [, teacher_refine]])
     "exact": ("bf16", None, 1, 1, 1, 0, "linear", "auto"),
     # exact-mixed: f32 activations/carry with DEFAULT-precision matmuls —
     # on TPU that is bf16-multiply/f32-accumulate, i.e. a far lower noise
@@ -77,6 +77,14 @@ MODES = {
     # turbo2-mt: turbo2 with the teacher forward in f32 (mixed tier) —
     # teacher-side quantization out of the composite at 1/8-of-frames cost
     "turbo2-mt": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto", "f32"),
+    # turbo2e-mt: turbo2-mt + error-adaptive teacher refinement — after
+    # the stride-8 pass, knots whose measured feature-space LOO
+    # interpolation error exceeds alpha get their surrounding intervals
+    # bisected (stride 8 -> 4 locally). Content-adaptive cost: smooth
+    # teacher curves keep stride-8 speed, feature-noisy ones self-degrade
+    # toward turbo-mt quality AND cost (quality table in BENCH.md).
+    "turbo2e-mt": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto", "f32",
+                   0.04),
     # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
@@ -204,6 +212,7 @@ def main():
     (dtype_name, precision, subsample, t_stride, s_stride,
      t_img, t_interp, use_pallas) = mode_spec[:8]
     teacher_dtype_name = mode_spec[8] if len(mode_spec) > 8 else None
+    teacher_refine = mode_spec[9] if len(mode_spec) > 9 else 0.0
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -236,6 +245,7 @@ def main():
                          use_pallas=use_pallas,
                          teacher_dtype=(jnp.float32 if teacher_dtype_name
                                         else None),
+                         teacher_refine=teacher_refine,
                          wire_format=("yuv420q" if args.wire == "yuv420q"
                                       else "yuv420"))
 
@@ -260,6 +270,8 @@ def main():
 
     # warmup / compile
     scorer.score_video(frames[:64], loc[:64], glob[:64], eff)
+    scorer.stats = {"teacher_rows": 0, "student_rows": 0}
+    frames_scored = 0
 
     rates = []
     for r in range(args.repeats):
@@ -272,6 +284,7 @@ def main():
             jax.profiler.stop_trace()
         assert np.isfinite(out).all()
         rates.append(T / dt)
+        frames_scored += T
     best = max(rates)
     median = float(np.median(rates))
 
@@ -290,8 +303,13 @@ def main():
                    for _ in range(3)]
         outs = [h.fetch() for h in handles]
         sustained.append(3 * T / (time.time() - t0))
+        frames_scored += 3 * T
         assert all(np.isfinite(o).all() for o in outs)
     sustained_best = max(sustained)
+    # the adaptive modes' teacher cost is data-dependent; report what was
+    # actually paid (fraction of one teacher row per scored frame)
+    teacher_rows_frac = round(
+        scorer.stats["teacher_rows"] / max(1, frames_scored), 4)
 
     # wire diagnostic: host->device bandwidth bounds end-to-end throughput
     # at wire_mb_s / frame_mb regardless of compute (the bench tunnel runs
@@ -364,6 +382,7 @@ def main():
         # its ceiling comes within 1.5x of the measured rate, the number is
         # (partly) a wire measurement, not a compute one
         "wire_bound": bool(wire_ceiling < 1.5 * headline),
+        "teacher_rows_frac": teacher_rows_frac,
     }
     if exact_fps is not None:
         result["exact_fps"] = round(exact_fps, 2)

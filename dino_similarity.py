@@ -84,6 +84,14 @@ def get_args_parser():
                         "exceeds alpha x the video's mean interval motion "
                         "(stride k -> k/2 where the content moves fast; "
                         "quality table in BENCH.md)")
+    p.add_argument("--teacher_refine", default=0.0, type=float,
+                   help="alpha > 0 = error-adaptive teacher refinement: "
+                        "after the --teacher_stride pass, bisect the "
+                        "intervals around every knot whose measured "
+                        "feature-space leave-one-out interpolation error "
+                        "exceeds alpha (stride k -> k/2 exactly where "
+                        "interpolation is failing; alpha 0.04 calibrated "
+                        "in BENCH.md — smooth content pays nothing)")
     p.add_argument("--score_stride", default=1, type=int,
                    help=">1 = score every m-th frame only, interpolate the "
                         "loss curve between (fastest; selection quality "
@@ -150,13 +158,14 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         teacher_stride=cli.teacher_stride, score_stride=cli.score_stride,
         teacher_interp=cli.teacher_interp,
         teacher_adaptive=cli.teacher_adaptive,
+        teacher_refine=cli.teacher_refine,
         teacher_dtype=(jnp.float32 if cli.teacher_precision == "float32"
                        else None),
         wire_format=cli.wire_format if cli.wire_format != "rgb8"
         else "yuv420")
     approx = cli.global_subsample > 1 or cli.teacher_stride > 1 \
         or cli.score_stride > 1 or cli.teacher_adaptive > 0 \
-        or cli.wire_format != "rgb8"
+        or cli.teacher_refine > 0 or cli.wire_format != "rgb8"
     if approx and cli.precision == "float32":
         print("NOTE: approximation/wire flags change scores; "
               "f32 bit-parity does not apply")

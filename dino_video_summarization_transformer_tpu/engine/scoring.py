@@ -204,6 +204,19 @@ class ScorerConfig:
     # they matter. Host-side: a strided-pixel |diff| over the wire luma
     # plane (~ms per video); positions stay deterministic per video.
     teacher_adaptive: float = 0.0
+    # Error-adaptive teacher refinement (alpha > 0 enables): after the
+    # stride-k teacher pass, compute each interior knot's leave-one-out
+    # interpolation error IN FEATURE SPACE on device —
+    # ||t_j - lerp(t_{j-1}, t_{j+1})|| / ||t_j|| — fetch the tiny error
+    # vector (one readback per video/group), and bisect both intervals
+    # around every knot whose error exceeds alpha. Unlike
+    # ``teacher_adaptive`` (a pixel-motion proxy), this measures the
+    # quantity the strided modes actually approximate — the teacher CLS
+    # curve's local curvature — so it refines exactly where interpolation
+    # is failing: smooth content keeps the full stride-k FLOP savings,
+    # feature-noisy content self-degrades toward stride k/2. One
+    # refinement round (stride k -> k/2 locally).
+    teacher_refine: float = 0.0
     use_pallas: str | bool = "auto"
     piece: int = PIECE
     # How 2D-packed frames are interpreted by the device gather kernel:
@@ -259,6 +272,7 @@ class FrameScorer:
             raise ValueError(f"teacher_target={config.teacher_target!r}")
         self.teacher_target = config.teacher_target
         self.teacher_adaptive = max(0.0, float(config.teacher_adaptive))
+        self.teacher_refine = max(0.0, float(config.teacher_refine))
         teacher_img = config.teacher_img
         use_pallas = config.use_pallas
         # teacher_img r > 0: the teacher's global windows are bilinearly
@@ -329,6 +343,11 @@ class FrameScorer:
         self.t_params = t_params
         self._jitted: Dict[object, object] = {}
         self._dummy_loss: Optional[float] = None
+        # dispatch accounting (observability for the adaptive modes): how
+        # many teacher / student window rows this scorer has computed —
+        # the adaptive refinement's actual FLOP cost is data-dependent, so
+        # tools (validate_fast_scoring) and users read it here
+        self.stats = {"teacher_rows": 0, "student_rows": 0}
 
     # -- compiled kernels ------------------------------------------------------
 
@@ -551,6 +570,8 @@ class FrameScorer:
         T = frames.shape[0]
         fn = self._get(eff_global)
         buf = self._make_buffer(frames)
+        self.stats["teacher_rows"] += T
+        self.stats["student_rows"] += T
         outs = self._run_chunks_async(
             fn, buf, np.arange(T), [local_idx, global_idx])
         return PendingScore(outs)
@@ -594,6 +615,48 @@ class FrameScorer:
         return np.unique(np.concatenate(
             [tpos, np.asarray(mids, dtype=tpos.dtype)]))
 
+    # -- error-adaptive teacher refinement ---------------------------------
+
+    def _loo_errs_fn(self):
+        """Jitted leave-one-out knot error: feats (n, D), w (n-2,) lerp
+        weights -> (n-2,) relative L2 error of each interior knot vs the
+        linear interpolation of its neighbors. The direct measurement of
+        how interpolable the teacher CLS curve is at this stride."""
+        if "loo" not in self._jitted:
+            def loo(feats, w):
+                f = feats.astype(jnp.float32)
+                t_hat = f[:-2] * (1.0 - w)[:, None] + f[2:] * w[:, None]
+                num = jnp.linalg.norm(f[1:-1] - t_hat, axis=-1)
+                den = jnp.linalg.norm(f[1:-1], axis=-1) + 1e-6
+                return num / den
+            self._jitted["loo"] = jax.jit(loo)
+        return self._jitted["loo"]
+
+    def _loo_weights(self, tpos: np.ndarray) -> np.ndarray:
+        return ((tpos[1:-1] - tpos[:-2]).astype(np.float32)
+                / np.maximum(tpos[2:] - tpos[:-2], 1))
+
+    def _refine_mids(self, tpos: np.ndarray, errs: np.ndarray) -> np.ndarray:
+        """Midpoints of both intervals around every interior knot whose LOO
+        error exceeds ``teacher_refine`` (one bisection round: stride k ->
+        k/2 locally)."""
+        mids = set()
+        for i in np.nonzero(errs > self.teacher_refine)[0]:
+            for a, b in ((i, i + 1), (i + 1, i + 2)):
+                if tpos[b] - tpos[a] >= 2:
+                    mids.add((int(tpos[a]) + int(tpos[b])) // 2)
+        mids -= set(int(p) for p in tpos)
+        return np.asarray(sorted(mids), dtype=tpos.dtype)
+
+    @staticmethod
+    def _merge_knots(tpos: np.ndarray, feats, mids: np.ndarray, m_feats):
+        """Sorted union of (tpos, feats) and (mids, m_feats); feats stay on
+        device (the gather rides the dispatch stream)."""
+        order = np.argsort(np.concatenate([tpos, mids]))
+        merged = np.concatenate([tpos, mids])[order]
+        f = jnp.concatenate([feats, m_feats], axis=0)[jnp.asarray(order)]
+        return merged, f
+
     def _score_video_strided_async(self, frames, local_idx, global_idx,
                                    eff_global: int) -> "PendingScore":
         """Teacher-stride / score-stride scoring.
@@ -622,10 +685,28 @@ class FrameScorer:
         # eviction (wire cost overlapped with compute either way).
         buf = self._make_buffer(frames)
         resident = buf.n_pieces <= MAX_RESIDENT_PIECES
+        self.stats["teacher_rows"] += len(tpos)
+        self.stats["student_rows"] += len(pos)
         t_outs = self._run_chunks_async(teacher_fn, buf, tpos, [global_idx],
                                         evict=not resident)
         t_feats = jnp.concatenate(
             [o[:n] for o, n in t_outs], axis=0)  # device (len(tpos), D)
+
+        # error-adaptive refinement: ONE small readback (the LOO error
+        # vector), then a second teacher pass at the bisected midpoints of
+        # the intervals interpolation is measurably failing in
+        if self.teacher_refine > 0.0 and len(tpos) >= 3:
+            errs = np.asarray(self._loo_errs_fn()(
+                t_feats, jnp.asarray(self._loo_weights(tpos))))  # host sync
+            mids = self._refine_mids(tpos, errs)
+            if len(mids):
+                self.stats["teacher_rows"] += len(mids)
+                m_outs = self._run_chunks_async(
+                    teacher_fn, buf, mids, [global_idx], evict=False)
+                m_feats = jnp.concatenate(
+                    [o[:n] for o, n in m_outs], axis=0)
+                tpos, t_feats = self._merge_knots(tpos, t_feats, mids,
+                                                  m_feats)
 
         # interpolate teacher features to every scored position — on
         # device, from host-precomputed gather indices/weights, so pass B
@@ -794,6 +875,9 @@ class FrameScorer:
     def _score_group_exact(self, items) -> List["PendingScore"]:
         bufs, locs, globs, eff = self._group_inputs(items)
         fn = self._get(eff)
+        n_rows = sum(it["frames"].shape[0] for it in items)
+        self.stats["teacher_rows"] += n_rows
+        self.stats["student_rows"] += n_rows
         specs = [(buf, np.arange(it["frames"].shape[0]), [loc, glob])
                  for buf, it, loc, glob in zip(bufs, items, locs, globs)]
         outs = self._run_group_chunks(fn, specs)
@@ -820,17 +904,25 @@ class FrameScorer:
             tposs.append(self._teacher_positions(pos, it["frames"]))
 
         # pass A: teacher features, chunks shared across videos
+        self.stats["teacher_rows"] += sum(len(t) for t in tposs)
+        self.stats["student_rows"] += sum(len(p) for p in poss)
         t_specs = [(buf, tpos, [glob])
                    for buf, tpos, glob in zip(bufs, tposs, globs)]
         t_outs = self._run_group_chunks(teacher_fn, t_specs)
         t_all = jnp.concatenate([o[:n] for o, n in t_outs], axis=0)
 
-        extras = []
+        feats_list = []
         s = 0
-        for tpos, pos in zip(tposs, poss):
-            t_v = t_all[s:s + len(tpos)]
+        for tpos in tposs:
+            feats_list.append(t_all[s:s + len(tpos)])
             s += len(tpos)
-            extras.append(_interp_rows(tpos, t_v, pos, self.teacher_interp))
+
+        if self.teacher_refine > 0.0:
+            tposs, feats_list = self._refine_group(
+                teacher_fn, bufs, globs, tposs, feats_list)
+
+        extras = [_interp_rows(tpos, t_v, pos, self.teacher_interp)
+                  for tpos, t_v, pos in zip(tposs, feats_list, poss)]
 
         # pass B: student + loss, chunks shared across videos
         s_specs = [(buf, pos, [loc])
@@ -847,6 +939,53 @@ class FrameScorer:
                                         post=post))
             s += len(pos)
         return handles
+
+    def _refine_group(self, teacher_fn, bufs, globs, tposs, feats_list):
+        """Error-adaptive refinement across a video group: every video's
+        LOO errors are fetched in ONE readback, the refinement midpoints
+        run as ONE shared-chunk teacher pass, and each video's knots are
+        merged. Returns the (possibly) refined (tposs, feats_list)."""
+        errs_dev = []
+        for tpos, f in zip(tposs, feats_list):
+            if len(tpos) >= 3:
+                errs_dev.append(self._loo_errs_fn()(
+                    f, jnp.asarray(self._loo_weights(tpos))))
+            else:
+                errs_dev.append(None)
+        flat = [e for e in errs_dev if e is not None]
+        if not flat:
+            return tposs, feats_list
+        cat = np.asarray(flat[0] if len(flat) == 1
+                         else jnp.concatenate(flat))  # ONE host sync
+        mids_list = []
+        off = 0
+        for tpos, e in zip(tposs, errs_dev):
+            if e is None:
+                mids_list.append(np.empty(0, tpos.dtype))
+                continue
+            n = e.shape[0]
+            mids_list.append(self._refine_mids(tpos, cat[off:off + n]))
+            off += n
+        if not any(len(m) for m in mids_list):
+            return tposs, feats_list
+
+        self.stats["teacher_rows"] += sum(len(m) for m in mids_list)
+        m_specs = [(buf, m, [glob])
+                   for buf, m, glob in zip(bufs, mids_list, globs)
+                   if len(m)]
+        m_outs = self._run_group_chunks(teacher_fn, m_specs)
+        m_all = jnp.concatenate([o[:n] for o, n in m_outs], axis=0)
+
+        new_tposs, new_feats = [], []
+        sm = 0
+        for tpos, f, mids in zip(tposs, feats_list, mids_list):
+            if len(mids):
+                fm = m_all[sm:sm + len(mids)]
+                sm += len(mids)
+                tpos, f = self._merge_knots(tpos, f, mids, fm)
+            new_tposs.append(tpos)
+            new_feats.append(f)
+        return new_tposs, new_feats
 
     def dummy_losses(self) -> np.ndarray:
         """Constant-loss protocol for corrupt / size-mismatched videos:

@@ -356,3 +356,51 @@ def test_teacher_target_probs_group_matches_per_video(tiny_setup):
     solo = [sc.score_video(v, loc, glob, eff) for v in vids]
     for g, s in zip(grouped, solo):
         np.testing.assert_allclose(g, s, rtol=1e-6, atol=1e-7)
+
+
+def test_teacher_refine_inf_is_plain_stride(tiny_setup):
+    """An unreachable LOO threshold must leave the stride path bit-equal
+    to plain strided scoring (refinement adds no knots)."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    plain = scorer(teacher_stride=8, teacher_interp="catmullrom")
+    ref = scorer(teacher_stride=8, teacher_interp="catmullrom",
+                 teacher_refine=1e9)
+    np.testing.assert_array_equal(
+        plain.score_video(vid, loc, glob, eff),
+        ref.score_video(vid, loc, glob, eff))
+    # no refinement rows were paid
+    assert ref.stats["teacher_rows"] == plain.stats["teacher_rows"]
+
+
+def test_teacher_refine_improves_stride8(tiny_setup):
+    """A reachable threshold must add teacher knots and not degrade
+    fidelity vs the unrefined stride (it only ADDS exact knots)."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    plain_sc = scorer(teacher_stride=8, teacher_interp="catmullrom")
+    plain = plain_sc.score_video(vid, loc, glob, eff)
+    ref_sc = scorer(teacher_stride=8, teacher_interp="catmullrom",
+                    teacher_refine=1e-9)
+    ref = ref_sc.score_video(vid, loc, glob, eff)
+    assert ref_sc.stats["teacher_rows"] > plain_sc.stats["teacher_rows"]
+    e_plain = np.abs(plain - exact).mean()
+    e_ref = np.abs(ref - exact).mean()
+    assert e_ref <= e_plain * 1.05, (e_ref, e_plain)
+
+
+def test_teacher_refine_group_matches_per_video(tiny_setup):
+    """Group refinement (shared LOO readback + shared refinement chunks)
+    must be loss-identical to the per-video refinement path."""
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_video)
+
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    sc = scorer(teacher_stride=8, teacher_interp="catmullrom",
+                teacher_refine=0.02)
+    vids = [vid, make_video(9, vid.shape[0], 32)]
+    items = [dict(frames=v, local_idx=loc, global_idx=glob,
+                  eff_global=eff, dummy=False, path=f"v{i}")
+             for i, v in enumerate(vids)]
+    grouped = [h.fetch() for h in sc.score_group_async(items)]
+    solo = [sc.score_video(v, loc, glob, eff) for v in vids]
+    for g, s in zip(grouped, solo):
+        np.testing.assert_allclose(g, s, rtol=1e-6, atol=1e-7)

@@ -35,6 +35,12 @@ import numpy as np
 
 REF_LOSS_JSON = "/root/reference/loss_values/loss_msvd_4_3_30.json"
 
+# LOO-error threshold for the error-adaptive refinement rows; calibrated
+# against the measured LOO distributions (tools/loo_probe output in
+# BENCH.md): production-arch smooth curves sit well below, feature-noisy
+# validators well above, so refinement concentrates where it pays
+EREF_ALPHA = 0.035
+
 MODE_GRID = {
     "k2": dict(teacher_stride=2),
     "turbo(k4)": dict(teacher_stride=4),
@@ -45,6 +51,12 @@ MODE_GRID = {
     # video's mean interval motion)
     "k8+cr+adapt": dict(teacher_stride=8, teacher_interp="catmullrom",
                         teacher_adaptive=1.0),
+    # error-adaptive refinement: bisect stride intervals around knots
+    # whose measured feature-space LOO interpolation error exceeds alpha
+    # (ScorerConfig.teacher_refine) — the direct measurement the motion
+    # proxy approximates
+    "k8+cr+eref": dict(teacher_stride=8, teacher_interp="catmullrom",
+                       teacher_refine=EREF_ALPHA),
     # prob-target interpolation: softmax at the teacher knots, interpolate
     # the probability vectors (the loss is linear in them — exactly
     # interpolating the per-knot losses; ScorerConfig.teacher_target)
@@ -181,12 +193,16 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
 
     def measure(name, sc):
         sp, ag, ag1, re = [], [], [], []
+        sc.stats["teacher_rows"] = 0
         for ex, v in zip(exact, videos):
             fs = sc.score_video(v, loc, glob, eff)
             sp.append(spearman(ex, fs))
             re.append(float(np.abs(fs - ex).mean() / ex.mean()))
             ag.append(selection_agreement(ex, fs, 16, 4, T))
             ag1.append(selection_agreement(ex, fs, 16, 4, T, 1))
+        # teacher cost actually paid (the adaptive modes are
+        # data-dependent): fraction of the exact mode's one-row-per-frame
+        t_cost = sc.stats["teacher_rows"] / float(T * len(videos))
         report[name] = {
             "spearman_mean": float(np.mean(sp)),
             "spearman_min": float(np.min(sp)),
@@ -194,10 +210,11 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
             "rel_err_max": float(np.max(re)),
             "selection_agree_exact": float(np.mean(ag)),
             "selection_agree_tol1": float(np.mean(ag1)),
+            "teacher_rows_frac": round(t_cost, 4),
         }
         print(f"{name}: spearman {np.mean(sp):.4f} (min {np.min(sp):.4f}), "
               f"relerr {np.mean(re):.4f}, sel-agree {np.mean(ag):.3f} "
-              f"(tol1 {np.mean(ag1):.3f})", flush=True)
+              f"(tol1 {np.mean(ag1):.3f}), t-rows {t_cost:.3f}", flush=True)
 
     # quantization noise floor: the accepted production numerics (on TPU
     # this row takes the fused Pallas path via use_pallas="auto", so it
@@ -241,6 +258,10 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                       dict(teacher_stride=8, teacher_interp="catmullrom",
                            teacher_dtype=np.float32,
                            teacher_adaptive=1.0)),
+                     ("turbo2e-mt-prod (bf16 s, f32 t, k8, cr, eref)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_refine=EREF_ALPHA)),
                      ("turbo-mt-pt-prod (bf16 s, f32 t, k4, probs)",
                       dict(teacher_stride=4, teacher_dtype=np.float32,
                            teacher_target="probs")),
