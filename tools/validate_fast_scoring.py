@@ -262,6 +262,10 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                       dict(teacher_stride=8, teacher_interp="catmullrom",
                            teacher_dtype=np.float32,
                            teacher_refine=EREF_ALPHA)),
+                     ("turbo3e-mt-prod (bf16 s, f32 t, k16, cr, eref)",
+                      dict(teacher_stride=16, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_refine=EREF_ALPHA)),
                      ("turbo-mt-pt-prod (bf16 s, f32 t, k4, probs)",
                       dict(teacher_stride=4, teacher_dtype=np.float32,
                            teacher_target="probs")),
