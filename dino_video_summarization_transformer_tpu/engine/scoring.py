@@ -217,6 +217,15 @@ class ScorerConfig:
     # feature-noisy content self-degrades toward stride k/2. One
     # refinement round (stride k -> k/2 locally).
     teacher_refine: float = 0.0
+    # Student dispatch batching: fuse this many model-batch chunks into
+    # ONE device dispatch (lax.scan inside the jit — numerics identical,
+    # the scan body is the single-chunk computation on the same rows).
+    # The strided modes' student pass is the dispatch-count hot spot
+    # (~15 dispatches per 480-frame video at chunk 32); each dispatch
+    # pays enqueue latency + a stream bubble, measured as most of the
+    # kernel-sum -> e2e residual (BENCH.md headroom #1). Short videos
+    # clamp it to ceil(rows/chunk), so tiny inputs don't pay padding.
+    student_dispatch: int = 4
     use_pallas: str | bool = "auto"
     piece: int = PIECE
     # How 2D-packed frames are interpreted by the device gather kernel:
@@ -273,6 +282,7 @@ class FrameScorer:
         self.teacher_target = config.teacher_target
         self.teacher_adaptive = max(0.0, float(config.teacher_adaptive))
         self.teacher_refine = max(0.0, float(config.teacher_refine))
+        self.student_dispatch = max(1, int(config.student_dispatch))
         teacher_img = config.teacher_img
         use_pallas = config.use_pallas
         # teacher_img r > 0: the teacher's global windows are bilinearly
@@ -430,17 +440,25 @@ class FrameScorer:
 
         return self._wrap(teacher_chunk)
 
-    def _build_student(self):
-        """(params_pair, frames, loc_idx (chunk, L), t_rows (chunk, D)) ->
-        (chunk,) per-frame losses against the provided teacher rows
-        (CLS features, or ready probabilities when teacher_target="probs" —
-        the loss is linear in the probs, so interpolated rows are valid
-        as-is)."""
+    def _build_student(self, sub: int = 1):
+        """(params_pair, frames, loc_idx (sub*chunk, L), t_rows
+        (sub*chunk, D)) -> (sub*chunk,) per-frame losses against the
+        provided teacher rows (CLS features, or ready probabilities when
+        teacher_target="probs" — the loss is linear in the probs, so
+        interpolated rows are valid as-is).
+
+        ``sub`` > 1 fuses that many model-batch chunks into ONE device
+        dispatch via lax.scan (identical numerics — the scan body is the
+        sub=1 computation on the same chunk rows). The student pass is
+        ~15 dispatches per 480-frame video at chunk 32; on the bench
+        tunnel each dispatch costs enqueue latency + a stream bubble, so
+        batching them 4-up removes most of the residual between the
+        kernel-sum ceiling and the measured rate (BENCH.md headroom #1)."""
         cfg = self.model_cfg
         dtype = self.compute_dtype
         probs = self.teacher_target == "probs"
 
-        def student_chunk(params, frames, loc_idx, t_rows):
+        def one_chunk(params, frames, loc_idx, t_rows):
             local = self._gather_views(frames, loc_idx, self.local_size)
             s = tsf.forward(params[0], local, cfg, compute_dtype=dtype)
             if probs:
@@ -451,19 +469,44 @@ class FrameScorer:
                 s, t_rows, teacher_temp=self.teacher_temp,
                 student_temp=self.student_temp)
 
-        return self._wrap(student_chunk)
+        if sub == 1:
+            return self._wrap(one_chunk)
+
+        def student_chunks(params, frames, loc_idx, t_rows):
+            li = loc_idx.reshape(sub, self.chunk, loc_idx.shape[-1])
+            tr = t_rows.reshape(sub, self.chunk, t_rows.shape[-1])
+
+            def body(_, xs):
+                idx, rows = xs
+                return None, one_chunk(params, frames, idx, rows)
+
+            _, losses = jax.lax.scan(body, None, (li, tr))
+            return losses.reshape(-1)
+
+        return self._wrap(student_chunks)
 
     def _get(self, eff_global: int):
         if eff_global not in self._jitted:
             self._jitted[eff_global] = self._build(eff_global)
         return self._jitted[eff_global]
 
-    def _get_split(self, eff_global: int):
-        key = ("split", eff_global)
-        if key not in self._jitted:
-            self._jitted[key] = (self._build_teacher(eff_global),
-                                 self._build_student())
-        return self._jitted[key]
+    def _get_split(self, eff_global: int, sub: int = 1):
+        # cached separately: the teacher kernel depends only on the window
+        # geometry, the student kernel only on the dispatch-batch factor
+        tkey = ("teacher", eff_global)
+        if tkey not in self._jitted:
+            self._jitted[tkey] = self._build_teacher(eff_global)
+        skey = ("student", sub)
+        if skey not in self._jitted:
+            self._jitted[skey] = self._build_student(sub)
+        return self._jitted[tkey], self._jitted[skey]
+
+    def _student_sub(self, n_rows: int) -> int:
+        """Dispatch-batching factor for a student pass of ``n_rows``:
+        config.student_dispatch clamped so short inputs don't pad a
+        super-chunk (at most ceil(rows/chunk) chunks exist)."""
+        return max(1, min(self.student_dispatch,
+                          -(-n_rows // self.chunk)))
 
     def _make_buffer(self, frames: np.ndarray) -> _PieceBuffer:
         if frames.dtype != np.uint8:
@@ -476,7 +519,8 @@ class FrameScorer:
 
     def _run_chunks_async(self, fn, buf: _PieceBuffer, positions: np.ndarray,
                           idx_mats: List[np.ndarray], extra_rows=None,
-                          evict: bool = True) -> List[tuple]:
+                          evict: bool = True,
+                          chunk: Optional[int] = None) -> List[tuple]:
         """Run a chunked kernel over a subset of frame positions, WITHOUT
         fetching: returns [(device_out, n_valid)] with all dispatches queued.
 
@@ -485,9 +529,11 @@ class FrameScorer:
         rows are taken at ``positions``. ``extra_rows`` may be a host array
         or a device array (device arrays keep the whole chain sync-free).
         Pieces are uploaded ahead of the compute dispatches (LOOKAHEAD
-        pieces) and evicted behind them.
+        pieces) and evicted behind them. ``chunk`` overrides the rows per
+        dispatch (the dispatch-batched student kernels take
+        student_dispatch * self.chunk rows at once).
         """
-        chunk = self.chunk
+        chunk = self.chunk if chunk is None else chunk
         P = buf.piece
         n_pos = len(positions)
         lookahead = 8
@@ -672,11 +718,12 @@ class FrameScorer:
         """
         T = frames.shape[0]
         m = self.score_stride
-        teacher_fn, student_fn = self._get_split(eff_global)
 
         pos = np.arange(0, T, m)
         if pos[-1] != T - 1:
             pos = np.append(pos, T - 1)
+        sub = self._student_sub(len(pos))
+        teacher_fn, student_fn = self._get_split(eff_global, sub)
         tpos = self._teacher_positions(pos, frames)  # frame timeline
 
         # pass A: teacher features at tpos. When the whole video fits in
@@ -714,9 +761,11 @@ class FrameScorer:
         t_at_pos = _interp_rows(tpos, t_feats, pos, self.teacher_interp)
 
         # pass B: student forwards + loss at every scored position
+        # (dispatch-batched: ``sub`` chunks per device call)
         buf_b = buf if resident else self._make_buffer(frames)
         outs = self._run_chunks_async(
-            student_fn, buf_b, pos, [local_idx], extra_rows=t_at_pos)
+            student_fn, buf_b, pos, [local_idx], extra_rows=t_at_pos,
+            chunk=self.chunk * sub)
 
         if m == 1:
             return PendingScore(outs)
@@ -725,7 +774,8 @@ class FrameScorer:
 
     # -- cross-video group scoring ---------------------------------------------
 
-    def _run_group_chunks(self, fn, specs, extra=None) -> List[tuple]:
+    def _run_group_chunks(self, fn, specs, extra=None,
+                          chunk: Optional[int] = None) -> List[tuple]:
         """Chunk a row stream spanning SEVERAL videos into full dispatches.
 
         Per-video chunking leaves boundary chunks underfilled (a 60-frame
@@ -742,9 +792,10 @@ class FrameScorer:
         as contiguous runs, on device, sync-free.
 
         Returns [(device_out, n_valid)]; row order is the concatenation of
-        the per-video position lists.
+        the per-video position lists. ``chunk`` overrides rows/dispatch
+        (see _run_chunks_async).
         """
-        chunk = self.chunk
+        chunk = self.chunk if chunk is None else chunk
         P = specs[0][0].piece if specs else PIECE
 
         rows: List[tuple] = []  # (vid, position-index-within-vid)
@@ -892,7 +943,6 @@ class FrameScorer:
     def _score_group_strided(self, items) -> List["PendingScore"]:
         m = self.score_stride
         bufs, locs, globs, eff = self._group_inputs(items)
-        teacher_fn, student_fn = self._get_split(eff)
 
         poss, tposs = [], []
         for it in items:
@@ -902,6 +952,8 @@ class FrameScorer:
                 pos = np.append(pos, T - 1)
             poss.append(pos)
             tposs.append(self._teacher_positions(pos, it["frames"]))
+        sub = self._student_sub(sum(len(p) for p in poss))
+        teacher_fn, student_fn = self._get_split(eff, sub)
 
         # pass A: teacher features, chunks shared across videos
         self.stats["teacher_rows"] += sum(len(t) for t in tposs)
@@ -924,10 +976,12 @@ class FrameScorer:
         extras = [_interp_rows(tpos, t_v, pos, self.teacher_interp)
                   for tpos, t_v, pos in zip(tposs, feats_list, poss)]
 
-        # pass B: student + loss, chunks shared across videos
+        # pass B: student + loss, chunks shared across videos and
+        # dispatch-batched (``sub`` chunks per device call)
         s_specs = [(buf, pos, [loc])
                    for buf, pos, loc in zip(bufs, poss, locs)]
-        outs = self._run_group_chunks(student_fn, s_specs, extra=extras)
+        outs = self._run_group_chunks(student_fn, s_specs, extra=extras,
+                                      chunk=self.chunk * sub)
         gf = _GroupFetch(outs)
         handles, s = [], 0
         for it, pos in zip(items, poss):

@@ -64,6 +64,17 @@ def _interpret() -> bool:
 _BWD_COMPILER_PARAMS = pltpu.CompilerParams(
     vmem_limit_bytes=100 * 1024 * 1024)
 
+# Forward kernels: ViT-B weights alone are ~14 MB bf16 in the wb
+# spatial+MLP kernel, and the MXU wants M >> 128 rows per dense matmul —
+# both need more than Mosaic's default 16 MB scoped-vmem budget. The row
+# budgets below (block choosers) keep transients well under this limit.
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=80 * 1024 * 1024)
+
+
+def _fwd_params():
+    return None if _interpret() else _FWD_COMPILER_PARAMS
+
 
 def fused_ok(x, num_heads: int | None = None) -> bool:
     """Dtype/shape gate for the per-call fused dispatch in
@@ -192,6 +203,7 @@ def fused_attn_phase(p_norm, p_attn, x: jnp.ndarray, num_heads: int,
             transcendentals=S * L * L,
         ),
         interpret=_interpret(),
+        compiler_params=_fwd_params(),
     )(x, g, b, wqkv, bqkv, wproj, bproj)
 
 
@@ -319,6 +331,7 @@ def _fused_spatial_phase_impl(p_norm, p_attn, cls: jnp.ndarray,
             transcendentals=B * T * L * L,
         ),
         interpret=_interpret(),
+        compiler_params=_fwd_params(),
     )(x, cls, g, b, wqkv, bqkv, wproj, bproj)
     return grid_out, cls_rows.reshape(B, T, D)
 
@@ -618,6 +631,7 @@ def fused_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray,
             transcendentals=S * L * L,
         ),
         interpret=_interpret(),
+        compiler_params=_fwd_params(),
     )(x, g, b, wqkv, bqkv, wproj, bproj, wfc, bfc)
 
 
@@ -747,6 +761,7 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
             transcendentals=B * N * T * T,
         ),
         interpret=_interpret(),
+        compiler_params=_fwd_params(),
     )(x5, g, b, wqkv, bqkv, wproj, bproj, wfc, bfc)
     return out.reshape(B, T, N, D)
 
@@ -1200,6 +1215,7 @@ def _fused_mlp_phase_impl(p_norm, p_mlp, x: jnp.ndarray,
             transcendentals=M * Dh,
         ),
         interpret=_interpret(),
+        compiler_params=_fwd_params(),
     )(xm, g, b, w1, b1, w2, b2)
     return out.reshape(shape)
 
@@ -1392,6 +1408,7 @@ def _fused_spatial_mlp_impl(p_norm, p_attn, p_norm2, p_mlp, cls, x,
             transcendentals=B * T * (L * L + N * Dh // 64),
         ),
         interpret=_interpret(),
+        compiler_params=_fwd_params(),
     )(x, cls, g, b, wqkv, bqkv, wproj, bproj, mg, mb, mw1, mb1, mw2, mb2)
     return grid_out, cls_rows.reshape(B, T, D)
 

@@ -404,3 +404,93 @@ def test_teacher_refine_group_matches_per_video(tiny_setup):
     solo = [sc.score_video(v, loc, glob, eff) for v in vids]
     for g, s in zip(grouped, solo):
         np.testing.assert_allclose(g, s, rtol=1e-6, atol=1e-7)
+
+
+def test_student_dispatch_batching_bit_equal(tiny_setup):
+    """student_dispatch > 1 fuses several chunks into one device dispatch
+    via lax.scan — the scan body is the single-chunk computation on the
+    same rows, so both per-video and group scoring must be bit-equal to
+    the unbatched path (incl. the ragged tail: the clamp keeps short
+    inputs at sub=1, longer ones pad the final super-chunk with discarded
+    rows)."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    kw = dict(teacher_stride=8, teacher_interp="catmullrom")
+    a = scorer(student_dispatch=1, **kw).score_video(vid, loc, glob, eff)
+    sc4 = scorer(student_dispatch=4, **kw)
+    b = sc4.score_video(vid, loc, glob, eff)
+    np.testing.assert_array_equal(a, b)
+    # clamp: 100 rows at chunk 8 -> ceil = 13 chunks >= 4, so sub really 4
+    assert sc4._student_sub(100) == 4
+    assert sc4._student_sub(9) == 2  # short input degrades, no padding
+
+    items = [dict(frames=vid, local_idx=loc, global_idx=glob,
+                  eff_global=eff, dummy=False, path=f"v{i}")
+             for i in range(2)]
+    g1 = [h.fetch()
+          for h in scorer(student_dispatch=1, **kw).score_group_async(items)]
+    g4 = [h.fetch() for h in sc4.score_group_async(items)]
+    for x, y in zip(g1, g4):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_guarded_score_stride_on_reference_losses():
+    """Error-adaptive SCORE stride (the score-side analogue of
+    teacher_refine: LOO error at scored knots, bisect failing intervals)
+    measured on the committed REAL loss curves — the negative result that
+    keeps per-frame students the default. The loss curve carries
+    frame-rate noise that IS signal for CDF selection, so the guard
+    refines nearly everything at tight alphas (m=2 alpha=0.05 scores ~96%
+    of frames) and only reaches meaningful savings (~18% at alpha=0.2)
+    right at the bf16-noise-floor agreement boundary (~0.87 vs the ~0.90
+    proxy). No mode ships from this lever; the bound is pinned here so a
+    future smoother scoring loss can revisit it."""
+    data = json.load(open(REF_LOSS_JSON))
+    rate, N, m, alpha = 4, 16, 2, 0.2
+
+    agree = tot = 0
+    scored = total = 0
+    floor_agree = floor_tot = 0
+    rng = np.random.RandomState(0)
+    for losses in data.values():
+        losses = np.asarray(losses, float)
+        T = len(losses)
+        if T < 8 or not np.isfinite(losses).all() or losses.sum() <= 0:
+            continue
+        pos = np.arange(0, T, m)
+        if pos[-1] != T - 1:
+            pos = np.append(pos, T - 1)
+        lv = losses[pos]
+        scale = np.abs(lv).mean() + 1e-12
+        if len(pos) >= 3:
+            w = (pos[1:-1] - pos[:-2]) / np.maximum(pos[2:] - pos[:-2], 1)
+            lhat = lv[:-2] * (1 - w) + lv[2:] * w
+            err = np.abs(lv[1:-1] - lhat) / scale
+            mids = set()
+            for i in np.nonzero(err > alpha)[0]:
+                for a, b in ((i, i + 1), (i + 1, i + 2)):
+                    if pos[b] - pos[a] >= 2:
+                        mids.add((pos[a] + pos[b]) // 2)
+            mids -= set(pos.tolist())
+            if mids:
+                pos = np.unique(np.concatenate(
+                    [pos, np.asarray(sorted(mids), pos.dtype)]))
+        fast = np.interp(np.arange(T), pos, losses[pos])
+        ie, _ = adaptive_indices(losses, N, rate, T, T * rate)
+        ifa, _ = adaptive_indices(fast, N, rate, T, T * rate)
+        agree += len(set(ie) & set(ifa))
+        tot += len(ie)
+        scored += len(pos)
+        total += T
+        # bf16-floor proxy: exact losses + 4% relative noise
+        noisy = np.maximum(losses * (1 + 0.04 * rng.randn(T)), 1e-9)
+        ino, _ = adaptive_indices(noisy, N, rate, T, T * rate)
+        floor_agree += len(set(ie) & set(ino))
+        floor_tot += len(ie)
+
+    agree_frac = agree / tot
+    scored_frac = scored / total
+    floor = floor_agree / floor_tot
+    # the pinned bounds (measured: agree 0.869, scored 0.816, floor 0.896)
+    assert 0.83 <= agree_frac <= 0.91, agree_frac
+    assert 0.78 <= scored_frac <= 0.86, scored_frac
+    assert agree_frac < floor, (agree_frac, floor)
