@@ -50,7 +50,7 @@ import time
 MODES = {
     # mode -> (dtype, precision, global_subsample, teacher_stride,
     #          score_stride, teacher_img, teacher_interp, use_pallas
-    #          [, teacher_dtype [, teacher_refine]])
+    #          [, teacher_dtype [, teacher_refine [, teacher_quant]]])
     "exact": ("bf16", None, 1, 1, 1, 0, "linear", "auto"),
     # exact-mixed: f32 activations/carry with DEFAULT-precision matmuls —
     # on TPU that is bf16-multiply/f32-accumulate, i.e. a far lower noise
@@ -87,6 +87,13 @@ MODES = {
     # toward turbo-mt quality AND cost (quality table in BENCH.md).
     "turbo2e-mt": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto", "f32",
                    0.035),
+    # -q8 variants: W8A8 int8 teacher (ops/quant.py) — the v5e MXU's 2x
+    # tier. EXPERIMENTAL until the composite-vs-floor validation passes;
+    # measured teacher-forward speedup 1.18x over the bf16 wb kernels.
+    "turbo-q8": ("bf16", None, 1, 4, 1, 0, "linear", "auto", None, 0.0,
+                 "int8"),
+    "turbo2-q8": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto", None,
+                  0.0, "int8"),
     # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
@@ -215,6 +222,7 @@ def main():
      t_img, t_interp, use_pallas) = mode_spec[:8]
     teacher_dtype_name = mode_spec[8] if len(mode_spec) > 8 else None
     teacher_refine = mode_spec[9] if len(mode_spec) > 9 else 0.0
+    teacher_quant = mode_spec[10] if len(mode_spec) > 10 else None
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -248,6 +256,7 @@ def main():
                          teacher_dtype=(jnp.float32 if teacher_dtype_name
                                         else None),
                          teacher_refine=teacher_refine,
+                         teacher_quant=teacher_quant,
                          wire_format=("yuv420q" if args.wire == "yuv420q"
                                       else "yuv420"))
 

@@ -175,6 +175,16 @@ class ScorerConfig:
     # compute_dtype. Weights for the teacher are cast from the ORIGINAL
     # (usually f32) params, not the bf16 student copy.
     teacher_dtype: Optional[object] = None
+    # Quantize the TEACHER's dense weights to int8 ("int8" enables):
+    # W8A8 dynamic PTQ (ops/quant.py — per-channel weights from the
+    # ORIGINAL params, per-token activations; attention einsums, norms
+    # and softmax stay float). The teacher is ~80% of the strided modes'
+    # FLOPs and the v5e MXU runs s8 at 2x bf16 peak, so this is the
+    # economy tier's speed lever; quality is validated by the same
+    # composite-vs-floor methodology as every other mode before any
+    # default promotion. Quantized teachers run the XLA path (the fused
+    # kernels are float-only; the phase gates fall back automatically).
+    teacher_quant: Optional[str] = None
     global_subsample: int = 1
     teacher_stride: int = 1
     score_stride: int = 1
@@ -338,6 +348,20 @@ class FrameScorer:
             # from the ORIGINAL precision, not the student's bf16 copy
             t_params = jax.tree.map(
                 lambda x: jnp.asarray(x, t_dtype), src_params)
+        # int8 teacher (the economy tier): quantize the block dense
+        # weights from the ORIGINAL params (ops/quant.py). Routing is
+        # per-params-tree: the whole-block kernel pair consumes qkernel
+        # weights directly (s8 x s8 -> s32 on the MXU at 2x bf16 peak);
+        # non-wb fused paths fall back to XLA, whose linear() also
+        # consumes qkernel. Students are untouched.
+        self.teacher_quant = config.teacher_quant
+        self.t_model_cfg = model_cfg
+        if self.teacher_quant is not None:
+            if self.teacher_quant != "int8":
+                raise ValueError(f"teacher_quant={self.teacher_quant!r}")
+            from ..ops.quant import quantize_tree_int8
+
+            t_params = quantize_tree_int8(src_params)
         self.device = config.device
         if self.device is not None:
             # Commit the replica to the pinned device: every jit that
@@ -406,13 +430,15 @@ class FrameScorer:
         dtype = self.compute_dtype
         t_dtype = self.teacher_dtype
 
+        t_cfg = self.t_model_cfg
+
         def score_chunk(params, frames, loc_idx, glob_idx):
             local = self._gather_views(frames, loc_idx, self.local_size)
             glob = self._resize_teacher(
                 self._gather_views(frames, glob_idx, eff_global,
                                    dtype=t_dtype))
             s = tsf.forward(params[0], local, cfg, compute_dtype=dtype)
-            t = tsf.forward(params[1], glob, cfg, compute_dtype=t_dtype)
+            t = tsf.forward(params[1], glob, t_cfg, compute_dtype=t_dtype)
             return scoring_dino_loss(
                 s, t, teacher_temp=self.teacher_temp,
                 student_temp=self.student_temp)
@@ -424,7 +450,7 @@ class FrameScorer:
         teacher rows: raw CLS features (teacher_target="cls"), or their
         teacher_temp softmax ("probs" — the knot distributions the strided
         modes then interpolate directly)."""
-        cfg = self.model_cfg
+        cfg = self.t_model_cfg
         t_dtype = self.teacher_dtype
         probs = self.teacher_target == "probs"
 

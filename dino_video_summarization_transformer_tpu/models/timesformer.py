@@ -213,6 +213,13 @@ def layer_norm(p, x, eps=1e-6):
 
 
 def linear(p, x):
+    if "qkernel" in p:
+        # int8 tier: the params tree was pre-quantized by
+        # ops/quant.quantize_tree_int8 — the quantization travels with
+        # the tree, so every forward variant picks it up here
+        from ..ops import quant
+
+        return quant.int8_linear(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -277,7 +284,7 @@ def attn_phase(p_norm, p_attn, x, num_heads, use_fused: bool = False):
     if use_fused:
         from ..ops import fused_block
 
-        if fused_block.fused_ok(x, num_heads):
+        if fused_block.fused_ok(x, num_heads) and "kernel" in p_attn["qkv"]:
             return fused_block.fused_attn_phase(p_norm, p_attn, x, num_heads)
     return mhsa(p_attn, layer_norm(p_norm, x), num_heads)
 
@@ -287,7 +294,7 @@ def mlp_phase(p_norm, p_mlp, x, use_fused: bool = False):
     if use_fused:
         from ..ops import fused_block
 
-        if fused_block.fused_ok(x):
+        if fused_block.fused_ok(x) and "kernel" in p_mlp["fc1"]:
             return fused_block.fused_mlp_phase(p_norm, p_mlp, x)
     return mlp(p_mlp, layer_norm(p_norm, x))
 
@@ -300,7 +307,7 @@ def temporal_phase(p_norm, p_attn, p_fc, x, num_heads, use_fused: bool = False):
     if use_fused:
         from ..ops import fused_block
 
-        if fused_block.fused_ok(x, num_heads):
+        if fused_block.fused_ok(x, num_heads) and "kernel" in p_attn["qkv"]:
             return fused_block.fused_temporal_phase(
                 p_norm, p_attn, p_fc, x, num_heads)
     return x + linear(p_fc, mhsa(p_attn, layer_norm(p_norm, x), num_heads))
@@ -312,7 +319,7 @@ def mlp_phase_res(p_norm, p_mlp, x, use_fused: bool = False):
     if use_fused:
         from ..ops import fused_block
 
-        if fused_block.fused_ok(x):
+        if fused_block.fused_ok(x) and "kernel" in p_mlp["fc1"]:
             return fused_block.fused_mlp_phase(p_norm, p_mlp, x,
                                                residual=True)
     return x + mlp(p_mlp, layer_norm(p_norm, x))
@@ -677,6 +684,13 @@ def forward_features(
         and D % 128 == 0
         and D // cfg.num_heads < 128
     )
+    if glue_free and "qkernel" in params["blocks"]["attn"]["qkv"]:
+        # int8-quantized trees run fused only through the whole-block
+        # kernel pair (the per-phase kernels are float-only); otherwise
+        # fall through to the XLA path, whose linear() consumes qkernel
+        from ..ops import fused_block as _fb
+
+        glue_free = cfg.fused_wb and _fb.wb_fits(T, N, D)
     if glue_free:
         cls_tok = xt[:B, :1, :]  # identical across frames pre-mixing
         spat_tm = xt[:, 1:, :].reshape(B, T, N, D)

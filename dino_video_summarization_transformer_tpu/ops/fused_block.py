@@ -643,8 +643,14 @@ def fused_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
-                              wproj_ref, bproj_ref, wfc_ref, bfc_ref, o_ref,
-                              *, num_heads: int):
+                              wproj_ref, bproj_ref, wfc_ref, bfc_ref, *rest,
+                              num_heads: int):
+    if len(rest) == 1:
+        sqkv = sproj = sfc = None
+        o_ref, = rest
+    else:
+        # int8 tier: three weight-scale refs precede the output ref
+        sqkv, sproj, sfc, o_ref = rest
     _, T, _, BN, D = x_ref.shape
     H = num_heads
     hd = D // H
@@ -662,9 +668,7 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     # per block in the XLA path)
     yt = jnp.swapaxes(y, 0, 1)  # (BN, T, D)
 
-    qkv = _dot(
-        yt.reshape(BN * T, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    qkv = _dense_rows(yt.reshape(BN * T, D), wqkv_ref, sqkv)
     qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BN, T, 3 * D)
 
     ones = jnp.ones((BN, T, 128 - hd), jnp.bfloat16)
@@ -685,13 +689,9 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
             (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(BN * T, D)
 
-    proj = _dot(
-        a, wproj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    proj = _dense_rows(a, wproj_ref, sproj)
     proj = (proj + bproj_ref[0]).astype(jnp.bfloat16)
-    fc = _dot(
-        proj, wfc_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    fc = _dense_rows(proj, wfc_ref, sfc)
     fc = (fc + bfc_ref[0]).reshape(BN, T, D)
     fc = jnp.swapaxes(fc, 0, 1)  # back to frame-major (T, BN, D)
     if jnp.dtype(o_ref.dtype).itemsize >= 4:
@@ -731,15 +731,25 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
     # rules require (bn is rarely 8-divisible: N = 196 = 4 * 49)
     x5 = x.reshape(B, T, nb, block_n, D)
 
+    q8 = "qkernel" in p_attn["qkv"]
     g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
     b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
-    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    if q8:
+        wqkv = p_attn["qkv"]["qkernel"]
+        wproj = p_attn["proj"]["qkernel"]
+        wfc = p_fc["qkernel"]
+        scales = [p_attn["qkv"]["qscale"].reshape(1, 3 * D),
+                  p_attn["proj"]["qscale"].reshape(1, D),
+                  p_fc["qscale"].reshape(1, D)]
+    else:
+        wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+        wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+        wfc = p_fc["kernel"].astype(jnp.bfloat16)
+        scales = []
     bqkv = p_attn["qkv"].get("bias")
     bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
         jnp.float32).reshape(1, 3 * D)
-    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
     bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
-    wfc = p_fc["kernel"].astype(jnp.bfloat16)
     bfc = p_fc["bias"].astype(jnp.float32).reshape(1, D)
 
     x_spec = pl.BlockSpec((1, T, 1, block_n, D),
@@ -753,7 +763,8 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
         grid=(B, nb),
         in_specs=[x_spec, full(1, D), full(1, D), full(D, 3 * D),
                   full(1, 3 * D), full(D, D), full(1, D), full(D, D),
-                  full(1, D)],
+                  full(1, D)]
+                 + [full(*s.shape) for s in scales],
         out_specs=x_spec,
         cost_estimate=pl.CostEstimate(
             flops=B * N * T * (10 * D * D + 4 * T * D),
@@ -762,7 +773,7 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
         ),
         interpret=_interpret(),
         compiler_params=_fwd_params(),
-    )(x5, g, b, wqkv, bqkv, wproj, bproj, wfc, bfc)
+    )(x5, g, b, wqkv, bqkv, wproj, bproj, wfc, bfc, *scales)
     return out.reshape(B, T, N, D)
 
 
@@ -1269,15 +1280,39 @@ def _ln_rows(xf, g_ref, b_ref):
     return (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
 
 
-def _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H):
+def _q8_rows(y, w_ref, s_ref):
+    """(M, K) float rows @ int8 weights (K, F): per-row dynamic s8
+    activation quant -> s8 x s8 -> s32 MXU matmul -> fused rescale by
+    (row scale x channel scale), f32 out. The in-kernel half of the W8A8
+    tier (ops/quant.py quantizes the weights; matches int8_linear up to
+    the activation dtype at the quantization point)."""
+    yf = y.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    yq = jnp.round(yf * (1.0 / sx)).astype(jnp.int8)
+    o = jax.lax.dot_general(yq, w_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return o.astype(jnp.float32) * sx * s_ref[0]
+
+
+def _dense_rows(y2d, w_ref, s_ref=None):
+    """One dense matmul over token rows: bf16 MXU dot (s_ref None) or the
+    int8 tier via _q8_rows. f32 out, bias NOT added."""
+    if s_ref is None:
+        return _dot(y2d, w_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    return _q8_rows(y2d, w_ref, s_ref)
+
+
+def _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H,
+               sqkv_ref=None, sproj_ref=None):
     """y (S, L, D) bf16 -> proj(mhsa(y)) + bias, (S, L, D) f32. The same
-    max-free MXU-denominator softmax as the per-phase kernels."""
+    max-free MXU-denominator softmax as the per-phase kernels. Optional
+    scale refs switch the qkv/proj denses to the int8 tier."""
     S, L, D = y.shape
     hd = D // H
     scale = hd ** -0.5
-    qkv = _dot(
-        y.reshape(S * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    qkv = _dense_rows(y.reshape(S * L, D), wqkv_ref, sqkv_ref)
     qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(S, L, 3 * D)
     ones = jnp.ones((S, L, 128 - hd), jnp.bfloat16)
     head_outs = []
@@ -1296,23 +1331,19 @@ def _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H):
         head_outs.append(
             (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(S * L, D)
-    proj = _dot(
-        a, wproj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    proj = _dense_rows(a, wproj_ref, sproj_ref)
     return (proj + bproj_ref[0]).reshape(S, L, D)
 
 
-def _mlp_rows(xf, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref):
+def _mlp_rows(xf, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              s1_ref=None, s2_ref=None):
     """xf (M, D) f32 -> MLP(LN(xf)), (M, D) f32 (tanh-GELU, see
-    _mlp_phase_kernel)."""
+    _mlp_phase_kernel). Optional scale refs switch fc1/fc2 to the int8
+    tier."""
     y = _ln_rows(xf, g_ref, b_ref)
-    h = _dot(
-        y, w1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    h = _dense_rows(y, w1_ref, s1_ref)
     h = _gelu_tanh(h + b1_ref[0]).astype(jnp.bfloat16)
-    out = _dot(
-        h, w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    out = _dense_rows(h, w2_ref, s2_ref)
     return out + b2_ref[0]
 
 
@@ -1324,14 +1355,20 @@ def wb_fits(T: int, N: int, D: int) -> bool:
 
 def _spatial_mlp_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                         wproj_ref, bproj_ref, mg_ref, mb_ref, mw1_ref,
-                        mb1_ref, mw2_ref, mb2_ref, go_ref, co_ref, *,
+                        mb1_ref, mw2_ref, mb2_ref, *rest,
                         num_heads: int):
     """Spatial half + residual + grid MLP for a block of frames.
 
     x_ref (1, F, N, D) f32: post-temporal carry. go_ref (1, F, N, D) bf16:
     x2 + MLP(LN(x2)) where x2 = x + spatial residual — x2 exists only in
     VMEM. co_ref (1, 1, F, D) f32: raw CLS rows (caller averages over
-    frames)."""
+    frames). The int8 tier appends four weight-scale refs before the two
+    outputs (weights arrive int8; see _q8_rows)."""
+    if len(rest) == 2:
+        sqkv = sproj = s1 = s2 = None
+        go_ref, co_ref = rest
+    else:
+        sqkv, sproj, s1, s2, go_ref, co_ref = rest
     _, F, N, D = x_ref.shape
     H = num_heads
     hd = D // H
@@ -1343,12 +1380,13 @@ def _spatial_mlp_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                            (F, 1, D))
     seq = jnp.concatenate([cls, x], axis=1)  # (F, L, D) f32
     y = _ln_rows(seq, g_ref, b_ref)
-    res = _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H)
+    res = _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H,
+                     sqkv_ref=sqkv, sproj_ref=sproj)
 
     co_ref[0, 0] = res[:, 0, :].astype(co_ref.dtype)
     x2 = x + res[:, 1:, :]  # (F, N, D) f32 — never leaves VMEM
     mo = _mlp_rows(x2.reshape(F * N, D), mg_ref, mb_ref, mw1_ref, mb1_ref,
-                   mw2_ref, mb2_ref)
+                   mw2_ref, mb2_ref, s1_ref=s1, s2_ref=s2)
     go_ref[0] = (x2 + mo.reshape(F, N, D)).astype(go_ref.dtype)
 
 
@@ -1359,26 +1397,38 @@ def _fused_spatial_mlp_impl(p_norm, p_attn, p_norm2, p_mlp, cls, x,
     f32 (B, T, D)). See _spatial_mlp_kernel."""
     B, T, N, D = x.shape
     L = N + 1
-    Dh = p_mlp["fc1"]["kernel"].shape[1]
+    Dh = p_mlp["fc1"].get("kernel", p_mlp["fc1"].get("qkernel")).shape[-1]
     if not block_f:
         l_pad = -(-L // 16) * 16
         block_f = max(1, min(T, _budget(512, x.dtype) // l_pad))
     while T % block_f:
         block_f -= 1
 
+    q8 = "qkernel" in p_attn["qkv"]
     g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
     b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
-    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    if q8:
+        wqkv = p_attn["qkv"]["qkernel"]
+        wproj = p_attn["proj"]["qkernel"]
+        mw1 = p_mlp["fc1"]["qkernel"]
+        mw2 = p_mlp["fc2"]["qkernel"]
+        scales = [p_attn["qkv"]["qscale"].reshape(1, 3 * D),
+                  p_attn["proj"]["qscale"].reshape(1, D),
+                  p_mlp["fc1"]["qscale"].reshape(1, Dh),
+                  p_mlp["fc2"]["qscale"].reshape(1, D)]
+    else:
+        wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+        wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+        mw1 = p_mlp["fc1"]["kernel"].astype(jnp.bfloat16)
+        mw2 = p_mlp["fc2"]["kernel"].astype(jnp.bfloat16)
+        scales = []
     bqkv = p_attn["qkv"].get("bias")
     bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
         jnp.float32).reshape(1, 3 * D)
-    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
     bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
     mg = p_norm2["scale"].astype(jnp.float32).reshape(1, D)
     mb = p_norm2["bias"].astype(jnp.float32).reshape(1, D)
-    mw1 = p_mlp["fc1"]["kernel"].astype(jnp.bfloat16)
     mb1 = p_mlp["fc1"]["bias"].astype(jnp.float32).reshape(1, Dh)
-    mw2 = p_mlp["fc2"]["kernel"].astype(jnp.bfloat16)
     mb2 = p_mlp["fc2"]["bias"].astype(jnp.float32).reshape(1, D)
 
     x_spec = pl.BlockSpec((1, block_f, N, D), lambda bi, ti: (bi, ti, 0, 0),
@@ -1400,7 +1450,8 @@ def _fused_spatial_mlp_impl(p_norm, p_attn, p_norm2, p_mlp, cls, x,
         in_specs=[x_spec, cls_spec, full(1, D), full(1, D), full(D, 3 * D),
                   full(1, 3 * D), full(D, D), full(1, D), full(1, D),
                   full(1, D), full(D, Dh), full(1, Dh), full(Dh, D),
-                  full(1, D)],
+                  full(1, D)]
+                 + [full(*s.shape) for s in scales],
         out_specs=(o_spec, co_spec),
         cost_estimate=pl.CostEstimate(
             flops=B * T * L * (8 * D * D + 4 * L * D) + 4 * B * T * N * D * Dh,
@@ -1409,7 +1460,8 @@ def _fused_spatial_mlp_impl(p_norm, p_attn, p_norm2, p_mlp, cls, x,
         ),
         interpret=_interpret(),
         compiler_params=_fwd_params(),
-    )(x, cls, g, b, wqkv, bqkv, wproj, bproj, mg, mb, mw1, mb1, mw2, mb2)
+    )(x, cls, g, b, wqkv, bqkv, wproj, bproj, mg, mb, mw1, mb1, mw2, mb2,
+      *scales)
     return grid_out, cls_rows.reshape(B, T, D)
 
 
@@ -1439,13 +1491,26 @@ def _fused_divided_block_wb_impl(p, cls, grid_tm, num_heads: int):
     mu = jnp.mean(clsf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(clsf - mu), axis=-1, keepdims=True)
     yn = (clsf - mu) * jax.lax.rsqrt(var + _LN_EPS) * g2 + b2
-    h = yn.astype(jnp.bfloat16) @ p["mlp"]["fc1"]["kernel"].astype(
-        jnp.bfloat16)
-    h = _gelu_tanh(h.astype(jnp.float32)
-                   + p["mlp"]["fc1"]["bias"].astype(jnp.float32))
-    mo = h.astype(jnp.bfloat16) @ p["mlp"]["fc2"]["kernel"].astype(
-        jnp.bfloat16)
-    clsf = clsf + mo.astype(jnp.float32) + p["mlp"]["fc2"]["bias"].astype(
+    if "qkernel" in p["mlp"]["fc1"]:
+        # int8 tier: the CLS row takes the same W8A8 math as the grid
+        # (one token per sample — plain XLA, negligible)
+        from . import quant
+
+        h = quant.int8_linear(
+            {k: v for k, v in p["mlp"]["fc1"].items() if k != "bias"}, yn)
+        h = _gelu_tanh(h.astype(jnp.float32)
+                       + p["mlp"]["fc1"]["bias"].astype(jnp.float32))
+        mo = quant.int8_linear(
+            {k: v for k, v in p["mlp"]["fc2"].items() if k != "bias"},
+            h.astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        h = yn.astype(jnp.bfloat16) @ p["mlp"]["fc1"]["kernel"].astype(
+            jnp.bfloat16)
+        h = _gelu_tanh(h.astype(jnp.float32)
+                       + p["mlp"]["fc1"]["bias"].astype(jnp.float32))
+        mo = (h.astype(jnp.bfloat16) @ p["mlp"]["fc2"]["kernel"].astype(
+            jnp.bfloat16)).astype(jnp.float32)
+    clsf = clsf + mo + p["mlp"]["fc2"]["bias"].astype(
         jnp.float32)
     return clsf.astype(cls.dtype), grid_out
 

@@ -274,7 +274,17 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                            teacher_dtype=np.float32,
                            teacher_target="probs")),
                      ("t-lowres-prod",
-                      dict(teacher_stride=4, teacher_img=t_img))):
+                      dict(teacher_stride=4, teacher_img=t_img)),
+                     # int8 W8A8 teacher rows (ops/quant.py): the exact-
+                     # geometry row isolates the quantization error, the
+                     # strided rows are what bench's -q8 modes ship
+                     ("q8-exact (bf16 s, int8 t)",
+                      dict(teacher_quant="int8")),
+                     ("turbo-q8-prod (bf16 s, int8 t, k4)",
+                      dict(teacher_stride=4, teacher_quant="int8")),
+                     ("turbo2-q8-prod (bf16 s, int8 t, k8, cr)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_quant="int8"))):
         if modes and name not in modes:
             continue
         measure(name, FrameScorer(params, cfg, chunk=chunk,
