@@ -35,6 +35,7 @@ XLA matmuls). See fused_ok.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CLAMP = 80.0
+
+
+def _fold_scale(q, hd: int):
+    """Fold the attention scale hd**-0.5 into Q when that is EXACT in
+    bf16 — i.e. the scale is a power of two, which covers hd=64 (every
+    standard ViT) and hd=16/32. Scaling the (.., hd) Q rows replaces the
+    post-matmul multiply over the (.., L, L) score matrix (hd/L times the
+    VPU work); returns (q_scaled, residual_post_scale)."""
+    scale = hd ** -0.5
+    if math.frexp(scale)[0] == 0.5:  # exact power of two
+        return q * jnp.asarray(scale, q.dtype), None
+    return q, scale
 _LN_EPS = 1e-6
 
 # Kernel matmuls pin DEFAULT precision: an ambient
@@ -124,7 +137,6 @@ def _attn_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     H = num_heads
     hd = D // H
     assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
-    scale = hd ** -0.5
 
     # LayerNorm in f32 (parity with the XLA path)
     x = x_ref[:].astype(jnp.float32)
@@ -144,16 +156,19 @@ def _attn_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         q = qkv[:, :, h * hd:(h + 1) * hd]
         k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
         v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        q, post = _fold_scale(q, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # (BB, L, L)
+            preferred_element_type=jnp.float32)  # (BB, L, L)
+        if post is not None:
+            s = s * post
         p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
         v_aug = jnp.concatenate([v, ones], axis=2)  # (BB, L, 128)
         acc = _dot(
             p, v_aug, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         head_outs.append(
-            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(BB * L, D)
 
     proj = _dot(
@@ -222,7 +237,6 @@ def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     H = num_heads
     hd = D // H
     assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
-    scale = hd ** -0.5
     L = N + 1
 
     x = x_ref[0]  # (F, N, D) grid tokens of F frames
@@ -246,16 +260,19 @@ def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         q = qkv[:, :, h * hd:(h + 1) * hd]
         k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
         v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        q, post = _fold_scale(q, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # (F, L, L)
+            preferred_element_type=jnp.float32)  # (F, L, L)
+        if post is not None:
+            s = s * post
         p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
         v_aug = jnp.concatenate([v, ones], axis=2)  # (F, L, 128)
         acc = _dot(
             p, v_aug, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         head_outs.append(
-            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(F * L, D)
 
     proj = _dot(
@@ -549,7 +566,6 @@ def _temporal_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     H = num_heads
     hd = D // H
     assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
-    scale = hd ** -0.5
 
     x = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -568,16 +584,19 @@ def _temporal_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         q = qkv[:, :, h * hd:(h + 1) * hd]
         k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
         v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        q, post = _fold_scale(q, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
+        if post is not None:
+            s = s * post
         p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
         v_aug = jnp.concatenate([v, ones], axis=2)
         acc = _dot(
             p, v_aug, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         head_outs.append(
-            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(BB * L, D)
 
     proj = _dot(
@@ -655,7 +674,6 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     H = num_heads
     hd = D // H
     assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
-    scale = hd ** -0.5
 
     x = x_ref[0, :, 0].astype(jnp.float32)  # (T, BN, D)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -677,16 +695,19 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         q = qkv[:, :, h * hd:(h + 1) * hd]
         k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
         v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        q, post = _fold_scale(q, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # (BN, T, T)
+            preferred_element_type=jnp.float32)  # (BN, T, T)
+        if post is not None:
+            s = s * post
         p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
         v_aug = jnp.concatenate([v, ones], axis=2)
         acc = _dot(
             p, v_aug, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         head_outs.append(
-            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(BN * T, D)
 
     proj = _dense_rows(a, wproj_ref, sproj)
@@ -1311,7 +1332,6 @@ def _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H,
     scale refs switch the qkv/proj denses to the int8 tier."""
     S, L, D = y.shape
     hd = D // H
-    scale = hd ** -0.5
     qkv = _dense_rows(y.reshape(S * L, D), wqkv_ref, sqkv_ref)
     qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(S, L, 3 * D)
     ones = jnp.ones((S, L, 128 - hd), jnp.bfloat16)
@@ -1320,16 +1340,19 @@ def _mhsa_rows(y, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, H,
         q = qkv[:, :, h * hd:(h + 1) * hd]
         k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
         v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        q, post = _fold_scale(q, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
+        if post is not None:
+            s = s * post
         pr = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
         acc = _dot(
             pr, jnp.concatenate([v, ones], axis=2),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         head_outs.append(
-            (acc[:, :, :hd] / acc[:, :, -1:]).astype(jnp.bfloat16))
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(S * L, D)
     proj = _dense_rows(a, wproj_ref, sproj_ref)
     return (proj + bproj_ref[0]).reshape(S, L, D)
