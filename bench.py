@@ -87,6 +87,17 @@ MODES = {
     # toward turbo-mt quality AND cost (quality table in BENCH.md).
     "turbo2e-mt": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto", "f32",
                    0.035),
+    # turbo2e-mt-s2: turbo2e-mt with the teacher WINDOW dilated 2x
+    # (global_subsample=2 — the teacher sees 15 frames spanning the same
+    # +/-15-frame horizon), halving the remaining teacher FLOPs. Validated
+    # 224px OPT-IN, not the default: on the production geometry it sits
+    # BELOW the bf16 floor (base@224 composite 2.45% vs floor 3.91%,
+    # small@224 0.56% vs 2.12%) but it fails the low-resolution
+    # validators outright (tiny@32 / small@96 worst-case 21% — a 2x2/6x6
+    # patch grid starves the dilated window of temporal signal);
+    # eval_logs/s2_validation.json.
+    "turbo2e-mt-s2": ("bf16", None, 2, 8, 1, 0, "catmullrom", "auto",
+                      "f32", 0.035),
     # -q8 variants: W8A8 int8 teacher (ops/quant.py) — the v5e MXU's 2x
     # tier. EXPERIMENTAL until the composite-vs-floor validation passes;
     # measured teacher-forward speedup 1.18x over the bf16 wb kernels.

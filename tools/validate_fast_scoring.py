@@ -65,6 +65,13 @@ MODE_GRID = {
     "k8+cr+pt": dict(teacher_stride=8, teacher_interp="catmullrom",
                      teacher_target="probs"),
     "s4 (round-1 'fast')": dict(global_subsample=4),
+    # dilation-2 window subsample (teacher sees 15 frames spanning the
+    # same 30-frame horizon): halves the remaining teacher FLOPs of the
+    # guarded stride-8 default if it validates where s4 failed
+    "s2": dict(global_subsample=2),
+    "s2+k8+cr+eref": dict(global_subsample=2, teacher_stride=8,
+                          teacher_interp="catmullrom",
+                          teacher_refine=EREF_ALPHA),
     "turbo-max(k4m4)": dict(teacher_stride=4, score_stride=4),
     # low-resolution teacher: global windows bilinearly resized on device;
     # scaled below the validator's own image size by the 224-ratio
@@ -262,6 +269,11 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                       dict(teacher_stride=8, teacher_interp="catmullrom",
                            teacher_dtype=np.float32,
                            teacher_refine=EREF_ALPHA)),
+                     ("turbo2e-mt-s2-prod (bf16 s, f32 t, k8, cr, eref, s2)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_refine=EREF_ALPHA,
+                           global_subsample=2)),
                      ("turbo3e-mt-prod (bf16 s, f32 t, k16, cr, eref)",
                       dict(teacher_stride=16, teacher_interp="catmullrom",
                            teacher_dtype=np.float32,
