@@ -5,9 +5,13 @@ from .mesh import (
     is_main_process,
     replicated,
 )
+from .pp import build_pipe_mesh, pipeline_apply, pp_forward_features
 from .tp import shard_state, tp_sharding_tree, tp_spec_tree
 
 __all__ = [
+    "build_pipe_mesh",
+    "pipeline_apply",
+    "pp_forward_features",
     "build_mesh",
     "data_sharding",
     "init_distributed_mode",

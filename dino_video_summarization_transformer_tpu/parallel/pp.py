@@ -1,0 +1,210 @@
+"""Pipeline parallelism (GPipe-style) over the TimeSformer block stack.
+
+The reference implements only data parallelism (SURVEY.md section 2.4);
+this module adds the pipeline axis the TPU-native stack can use when a
+model no longer fits one chip (or when dp batch scaling saturates):
+``params["blocks"]`` is already stacked along a leading depth axis for the
+``lax.scan`` in models/timesformer.py, so a pipeline stage is simply a
+contiguous slice of that axis — no parameter re-plumbing.
+
+Schedule: the classic fill/drain loop. The global batch splits into
+``n_micro`` microbatches; for ``n_micro + pipe - 1`` ticks every device
+runs its local stage (a ``lax.scan`` over depth/pipe blocks) on the
+activation it holds, then hands the result to its neighbor with a single
+``ppermute`` hop over the mesh's pipe axis (nearest-neighbor ICI traffic,
+never DCN). Stage 0 injects microbatch i at tick i; the last stage records
+finished microbatches from tick pipe-1 on. Bubble fraction is the usual
+(pipe-1)/(n_micro + pipe - 1).
+
+Everything is ordinary differentiable JAX inside ``shard_map`` — the tick
+loop is a ``lax.scan`` and the hop is ``ppermute`` (whose transpose is the
+reverse ppermute) — so ``jax.grad`` through the pipelined forward yields
+exactly the non-pipelined gradients; the backward pass drains the pipe in
+reverse automatically. Equivalence (values and grads) vs the plain
+``forward_features`` scan is pinned by tests/test_pipeline.py on the
+8-virtual-device CPU mesh.
+
+Scope: the flagship divided space-time path (the XLA block; the fused
+Pallas kernels are single-chip tools — a stage that wants them can enable
+use_fused per model, see models/timesformer.py). Embedding (patch embed +
+pos/time embed) and the final LayerNorm are position-wise and tiny next to
+the 12-block stack, so they run replicated on every pipe device rather
+than as extra pipeline stages.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 top-level name; experimental alias is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def build_pipe_mesh(pipe: int, data: int = 1, devices=None,
+                    data_axis: str = "data", pipe_axis: str = "pipe") -> Mesh:
+    """(data, pipe) mesh; pipe is the inner axis so neighboring stages sit
+    on ICI-adjacent devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert data * pipe == len(devices), (data, pipe, len(devices))
+    arr = np.asarray(devices).reshape(data, pipe)
+    return Mesh(arr, (data_axis, pipe_axis))
+
+
+def pipeline_apply(
+    blocks: Any,
+    carry: Any,
+    block_fn: Callable[[Any, Any], Any],
+    mesh: Mesh,
+    n_micro: int,
+    axis: str = "pipe",
+) -> Any:
+    """Run ``carry -> scan(block_fn, blocks)`` as a pipeline over ``axis``.
+
+    blocks: pytree whose leaves have a leading depth dim (divisible by the
+        pipe size); stage d owns the contiguous slice d*L/P:(d+1)*L/P.
+    carry: pytree of activations with a leading batch dim (divisible by
+        n_micro); the same pytree structure must flow through every block.
+    block_fn(block_params, carry) -> carry: one block application.
+
+    Returns the carry pytree after all blocks, batch dim intact.
+    """
+    pipe = mesh.shape[axis]
+    depth = jax.tree.leaves(blocks)[0].shape[0]
+    assert depth % pipe == 0, (depth, pipe)
+    B = jax.tree.leaves(carry)[0].shape[0]
+    assert B % n_micro == 0, (B, n_micro)
+    mb = B // n_micro
+
+    micro = jax.tree.map(
+        lambda a: a.reshape((n_micro, mb) + a.shape[1:]), carry)
+    ticks = n_micro + pipe - 1
+
+    def per_stage(stage_blocks, micro):
+        d = jax.lax.axis_index(axis)
+
+        def stage(c):
+            out, _ = jax.lax.scan(lambda c, bp: (block_fn(bp, c), None),
+                                  c, stage_blocks)
+            return out
+
+        # the carries are device-varying (each stage holds a different
+        # microbatch); mark the zero inits as varying over the pipe axis so
+        # the scan carry types line up under shard_map's VMA typing
+        def vary(a):
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(a, (axis,), to="varying")
+            if hasattr(jax.lax, "pvary"):  # pragma: no cover - older jax
+                return jax.lax.pvary(a, (axis,))
+            return a  # pragma: no cover - pre-VMA jax: untyped carries
+
+        state0 = jax.tree.map(lambda a: vary(jnp.zeros_like(a[0])), micro)
+        # per-device output buffer; only the last stage's is meaningful
+        # (out_specs stacks them along the pipe axis, caller takes [-1])
+        outs0 = jax.tree.map(
+            lambda a: vary(jnp.zeros((1,) + a.shape, a.dtype)), micro)
+
+        def tick(st, i):
+            state, outs = st
+            inj = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, jnp.clip(i, 0, n_micro - 1), 0, keepdims=False),
+                micro)
+            inp = jax.tree.map(lambda a, b: jnp.where(d == 0, a, b),
+                               inj, state)
+            y = stage(inp)
+
+            o_idx = jnp.clip(i - (pipe - 1), 0, n_micro - 1)
+            write = jnp.logical_and(d == pipe - 1, i >= pipe - 1)
+
+            def upd(o, yy):
+                cur = jax.lax.dynamic_index_in_dim(o[0], o_idx, 0,
+                                                   keepdims=False)
+                new = jnp.where(write, yy, cur)
+                return jax.lax.dynamic_update_index_in_dim(
+                    o, new[None], o_idx, 1)
+
+            outs = jax.tree.map(upd, outs, y)
+            # hand to the next stage; the wrap to stage 0 is discarded by
+            # its injection select above
+            state = jax.lax.ppermute(
+                y, axis, [(j, (j + 1) % pipe) for j in range(pipe)])
+            return (state, outs), None
+
+        (_, outs), _ = jax.lax.scan(tick, (state0, outs0),
+                                    jnp.arange(ticks))
+        return outs
+
+    specs_b = jax.tree.map(lambda _: P(axis), blocks)
+    specs_m = jax.tree.map(lambda _: P(), micro)
+    out_specs = jax.tree.map(lambda _: P(axis), micro)
+    outs = shard_map(per_stage, mesh=mesh,
+                     in_specs=(specs_b, specs_m),
+                     out_specs=out_specs)(blocks, micro)
+    # (pipe, n_micro, mb, ...) -> last stage's buffer -> (B, ...)
+    return jax.tree.map(
+        lambda a: a[-1].reshape((B,) + a.shape[3:]), outs)
+
+
+def pp_forward_features(
+    params: Any,
+    x: jnp.ndarray,
+    cfg,
+    mesh: Mesh,
+    n_micro: int,
+    axis: str = "pipe",
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Pipelined twin of models.timesformer.forward_features (CLS features,
+    divided space-time path): embedding and final LN replicated, the
+    12-block stack pipelined over ``axis``. Values == forward_features.
+    """
+    from ..models.timesformer import (divided_block, interp_nearest_1d,
+                                      layer_norm, patch_embed,
+                                      resize_pos_embed)
+
+    assert cfg.attention_type == "divided_space_time", cfg.attention_type
+    B, C, T, Himg, Wimg = x.shape
+    ps = cfg.patch_size
+    W = Wimg // ps
+    H = Himg // ps
+    N = H * W
+    D = cfg.embed_dim
+
+    # --- embedding: identical op sequence to forward_features ------------
+    x = x.astype(compute_dtype)
+    frames = x.transpose(0, 2, 3, 4, 1).reshape(B * T, Himg, Wimg, C)
+    tok = patch_embed(params["patch_embed"], frames, ps)
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(compute_dtype), (B * T, 1, D))
+    xt = jnp.concatenate([cls, tok], axis=1)
+    pe = params["pos_embed"]
+    if xt.shape[1] != pe.shape[1]:
+        pe = resize_pos_embed(pe, xt.shape[1], W)
+    xt = xt + pe.astype(compute_dtype)
+
+    cls_tok = xt[:B, :1, :]
+    spat = xt[:, 1:, :]
+    spat = spat.reshape(B, T, N, D).transpose(0, 2, 1, 3).reshape(B * N, T, D)
+    te = params["time_embed"]
+    if T != te.shape[1]:
+        te = interp_nearest_1d(te, T, axis=1)
+    spat = spat + te.astype(compute_dtype)
+    spat = spat.reshape(B, N * T, D)
+
+    # --- pipelined block stack -------------------------------------------
+    mb = B // n_micro
+
+    def block_fn(bp, c):
+        return divided_block(bp, c[0], c[1], mb, T, H, W, cfg.num_heads)
+
+    cls_tok, _spat = pipeline_apply(
+        params["blocks"], (cls_tok, spat), block_fn, mesh, n_micro, axis)
+
+    return layer_norm(params["norm"], cls_tok, eps=cfg.norm_eps)[:, 0]
