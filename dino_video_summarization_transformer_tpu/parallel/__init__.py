@@ -6,12 +6,16 @@ from .mesh import (
     replicated,
 )
 from .pp import build_pipe_mesh, pipeline_apply, pp_forward_features
+from .sp import build_seq_mesh, sp_divided_block, sp_forward_features
 from .tp import shard_state, tp_sharding_tree, tp_spec_tree
 
 __all__ = [
     "build_pipe_mesh",
+    "build_seq_mesh",
     "pipeline_apply",
     "pp_forward_features",
+    "sp_divided_block",
+    "sp_forward_features",
     "build_mesh",
     "data_sharding",
     "init_distributed_mode",

@@ -1,0 +1,67 @@
+"""Sequence parallelism (parallel/sp.py): the Ulysses-style divided-block
+resharding must be value- AND gradient-equal to the plain forward.
+
+The reference has no sequence/context parallelism (SURVEY.md section 5);
+this is a TPU-native scaling capability, validated on the 8-virtual-device
+CPU mesh like the other mesh features.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dino_video_summarization_transformer_tpu.models import (
+    forward_features, init_timesformer, vit_tiny_config)
+from dino_video_summarization_transformer_tpu.parallel import (
+    build_seq_mesh, sp_forward_features)
+
+
+def _setup(num_frames=4):
+    # img 32 / patch 16 -> N=4; T=4: both divisible by seq=2 and 4
+    cfg = vit_tiny_config(num_frames=num_frames, num_classes=0, img_size=32)
+    params = init_timesformer(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 3, num_frames, 32, 32),
+        jnp.float32)
+    return cfg, params, x
+
+
+@pytest.mark.parametrize("seq,data", [(2, 4), (4, 2)])
+def test_sp_forward_matches_scan(seq, data):
+    cfg, params, x = _setup()
+    mesh = build_seq_mesh(seq=seq, data=data)
+
+    ref = forward_features(params, x, cfg)
+    got = sp_forward_features(params, x, cfg, mesh)
+    # resharded shapes change XLA fusion/reduction order: f32-noise only
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sp_grads_match_scan():
+    cfg, params, x = _setup()
+    mesh = build_seq_mesh(seq=2, data=4)
+
+    def loss_ref(p):
+        return jnp.sum(forward_features(p, x, cfg) ** 2)
+
+    def loss_sp(p):
+        return jnp.sum(sp_forward_features(p, x, cfg, mesh) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_sp = jax.grad(loss_sp)(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_sp = jax.tree.leaves(g_sp)
+    assert len(flat_ref) == len(flat_sp)
+    for (path, a), b in zip(flat_ref, flat_sp):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_sp_rejects_indivisible_geometry():
+    cfg, params, x = _setup(num_frames=2)  # T=2 not divisible by seq=4
+    mesh = build_seq_mesh(seq=4, data=2)
+    with pytest.raises(AssertionError):
+        sp_forward_features(params, x, cfg, mesh)
