@@ -93,6 +93,11 @@ def get_args_parser():
     p.add_argument("--nb_knn", default=5, type=int)
     p.add_argument("--temperature", default=0.07, type=float)
     p.add_argument("--eval_batch_size_per_gpu", default=8, type=int)
+    p.add_argument("--model_parallel", default=1, type=int,
+                   help="Tensor-parallel degree: shards qkv/mlp/DINO-head "
+                        "params over the mesh model axis (parallel/tp.py, "
+                        "Megatron pairing); the data axis gets the "
+                        "remaining devices. Plain trainer variant only.")
     return p
 
 
@@ -155,7 +160,7 @@ def train_svt(args):
         config_from_cfg)
     from dino_video_summarization_transformer_tpu.parallel import (
         build_mesh, data_sharding, init_distributed_mode, is_main_process,
-        replicated)
+        replicated, shard_state, tp_sharding_tree)
     from dino_video_summarization_transformer_tpu.train.dino import (
         teacher_temp_schedule)
     from dino_video_summarization_transformer_tpu.train.ssl import (
@@ -191,7 +196,10 @@ def train_svt(args):
                           two_token=two_token, rand_fr=rand_fr,
                           get_flow=two_stream, seed=args.seed)
     world = jax.process_count()
-    per_host = args.batch_size_per_gpu * jax.local_device_count()
+    # per data-parallel replica: a tensor-parallel group of model_parallel
+    # chips shares each sample
+    per_host = (args.batch_size_per_gpu
+                * (jax.local_device_count() // args.model_parallel))
     idx = shard_indices(len(dataset), jax.process_index(), world,
                         shuffle=True, seed=args.seed, drop_last=True)
 
@@ -254,7 +262,9 @@ def train_svt(args):
     compute_dtype = jnp.bfloat16 if args.use_fp16 else jnp.float32
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
         should_fuse)
-    if should_fuse(compute_dtype):
+    # fused kernels run per-device full-width and are not TP-aware —
+    # tensor parallelism is an XLA-path feature (parallel/tp.py docstring)
+    if should_fuse(compute_dtype) and args.model_parallel == 1:
         # bf16 on a real TPU: run the glue-free fused block phases — the
         # custom-VJP Pallas kernels cover the backward too, so the whole
         # student gradient path stays fused (ops/fused_block.py). Dtype/
@@ -262,7 +272,9 @@ def train_svt(args):
         import dataclasses as _dc
 
         mcfg = _dc.replace(mcfg, use_fused=True)
-    mesh = build_mesh()
+    assert args.model_parallel == 1 or not (two_stream or rand_fr), (
+        "--model_parallel supports the plain/two_token trainer variants")
+    mesh = build_mesh(model=args.model_parallel)
     d_shard = data_sharding(mesh)
 
     if two_stream:
@@ -309,7 +321,12 @@ def train_svt(args):
             pretrained_backbone=pretrained_backbone, two_token=two_token,
             cnn_distill_dim=1024 if (
                 cnn_params is not None and args.cnn_distill_weight > 0) else 0)
-        state = jax.device_put(state, replicated(mesh))
+        if args.model_parallel > 1:
+            state_sharding = tp_sharding_tree(state, mesh)
+            state = shard_state(state, mesh)
+        else:
+            state_sharding = None
+            state = jax.device_put(state, replicated(mesh))
         step_fn = make_train_step(
             mcfg, core, mask,
             n_local_crops=2 if two_token else args.local_crops_number,
@@ -317,7 +334,8 @@ def train_svt(args):
             compute_dtype=compute_dtype,
             mesh=mesh, remat=args.use_remat, two_token=two_token,
             cnn_params=cnn_params,
-            cnn_distill_weight=args.cnn_distill_weight)
+            cnn_distill_weight=args.cnn_distill_weight,
+            state_sharding=state_sharding)
 
     # ---------------- schedules --------------------------------------------
     lr_sched, wd_sched, mom_sched = build_schedules(args, niter_per_ep)
@@ -330,7 +348,10 @@ def train_svt(args):
     restored, run_vars = restore_checkpoint(ckpt_path, state)
     start_epoch = 0
     if restored is not None:
-        state = jax.device_put(restored, replicated(mesh))
+        if args.model_parallel > 1:
+            state = shard_state(restored, mesh)
+        else:
+            state = jax.device_put(restored, replicated(mesh))
         start_epoch = int(run_vars.get("epoch", 0))
         print(f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
