@@ -160,10 +160,14 @@ def test_train_ssl_cli_rand_fr(tmp_path):
 
 
 @pytest.mark.slow
-def test_train_ssl_cli_model_parallel(tmp_path):
-    """--model_parallel 2 on the 8-virtual-device mesh: the train step runs
-    data4 x model2 with Megatron TP shardings (parallel/tp.py) end-to-end
-    from the CLI, finite loss, checkpoint written."""
+@pytest.mark.parametrize("flags", [("--model_parallel", "2"),
+                                   ("--zero1", "true")],
+                         ids=["tp2", "zero1"])
+def test_train_ssl_cli_model_parallel(tmp_path, flags):
+    """--model_parallel 2 / --zero1 on the 8-virtual-device mesh: the train
+    step runs with Megatron TP shardings (parallel/tp.py) or ZeRO-1 moment
+    sharding (parallel/zero.py) end-to-end from the CLI, finite loss,
+    checkpoint written."""
     if not vio.native_available():
         pytest.skip("native decoder not built")
     d = tmp_path
@@ -184,7 +188,7 @@ def test_train_ssl_cli_model_parallel(tmp_path):
                         + " --xla_force_host_platform_device_count=8").strip()
     cmd = _base_cmd(d, out_dir,
                     "--batch_size_per_gpu", "1",
-                    "--model_parallel", "2",
+                    *flags,
                     "--opts", "DATA.NUM_FRAMES", "2",
                     "DATA.SAMPLING_RATE", "4")
     # _base_cmd already sets --batch_size_per_gpu 2; argparse keeps the

@@ -98,6 +98,11 @@ def get_args_parser():
                         "params over the mesh model axis (parallel/tp.py, "
                         "Megatron pairing); the data axis gets the "
                         "remaining devices. Plain trainer variant only.")
+    p.add_argument("--zero1", default=False, type=bool_flag,
+                   help="ZeRO-1: shard the Adam moments over the data axis "
+                        "(parallel/zero.py); params stay replicated. "
+                        "Plain trainer variant, exclusive of "
+                        "--model_parallel.")
     return p
 
 
@@ -160,7 +165,7 @@ def train_svt(args):
         config_from_cfg)
     from dino_video_summarization_transformer_tpu.parallel import (
         build_mesh, data_sharding, init_distributed_mode, is_main_process,
-        replicated, shard_state, tp_sharding_tree)
+        replicated, shard_state, tp_sharding_tree, zero_sharding_tree)
     from dino_video_summarization_transformer_tpu.train.dino import (
         teacher_temp_schedule)
     from dino_video_summarization_transformer_tpu.train.ssl import (
@@ -272,8 +277,10 @@ def train_svt(args):
         import dataclasses as _dc
 
         mcfg = _dc.replace(mcfg, use_fused=True)
-    assert args.model_parallel == 1 or not (two_stream or rand_fr), (
-        "--model_parallel supports the plain/two_token trainer variants")
+    assert (args.model_parallel == 1 and not args.zero1) or not (
+        two_stream or rand_fr), (
+        "--model_parallel/--zero1 support the plain/two_token trainer "
+        "variants")
     mesh = build_mesh(model=args.model_parallel)
     d_shard = data_sharding(mesh)
 
@@ -321,9 +328,15 @@ def train_svt(args):
             pretrained_backbone=pretrained_backbone, two_token=two_token,
             cnn_distill_dim=1024 if (
                 cnn_params is not None and args.cnn_distill_weight > 0) else 0)
+        assert not (args.zero1 and args.model_parallel > 1), (
+            "--zero1 and --model_parallel are exclusive (the TP tree "
+            "already shards the moments over the model axis)")
         if args.model_parallel > 1:
             state_sharding = tp_sharding_tree(state, mesh)
             state = shard_state(state, mesh)
+        elif args.zero1:
+            state_sharding = zero_sharding_tree(state, mesh)
+            state = jax.device_put(state, state_sharding)
         else:
             state_sharding = None
             state = jax.device_put(state, replicated(mesh))
@@ -350,6 +363,8 @@ def train_svt(args):
     if restored is not None:
         if args.model_parallel > 1:
             state = shard_state(restored, mesh)
+        elif args.zero1:
+            state = jax.device_put(restored, zero_sharding_tree(restored, mesh))
         else:
             state = jax.device_put(restored, replicated(mesh))
         start_epoch = int(run_vars.get("epoch", 0))
