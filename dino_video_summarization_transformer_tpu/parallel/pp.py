@@ -74,6 +74,17 @@ def pipeline_apply(
     block_fn(block_params, carry) -> carry: one block application.
 
     Returns the carry pytree after all blocks, batch dim intact.
+
+    Memory profile: the microbatched input (in_specs P()) and the
+    (n_micro, mb, ...) output buffer are REPLICATED on every pipe stage —
+    SPMD allocates statically, so the stage-0-only injection buffer and
+    last-stage-only output buffer cannot be elided per device. Per-device
+    activation memory is therefore O(full batch), like plain DP; what the
+    pipeline shards is the PARAMETER stack (each stage holds depth/pipe
+    blocks) plus the per-tick working set. Use it when the block stack,
+    not the activations, is what no longer fits (or to cut per-step
+    weight traffic); an activation-sharded schedule would need the
+    microbatch queue itself rotated through the pipe, a different design.
     """
     pipe = mesh.shape[axis]
     depth = jax.tree.leaves(blocks)[0].shape[0]
@@ -170,6 +181,13 @@ def pp_forward_features(
                                       resize_pos_embed)
 
     assert cfg.attention_type == "divided_space_time", cfg.attention_type
+    # the documented value-equality to forward_features holds for the XLA
+    # block; a cfg that routes through the fused Pallas kernels would
+    # silently diverge from this path's unfused blocks — refuse it here
+    assert not cfg.use_fused, (
+        "pp_forward_features runs the XLA divided block; build the config "
+        "with use_fused=False (the fused Pallas kernels are single-chip "
+        "tools — see the module docstring)")
     B, C, T, Himg, Wimg = x.shape
     ps = cfg.patch_size
     W = Wimg // ps

@@ -203,6 +203,11 @@ def train_svt(args):
     world = jax.process_count()
     # per data-parallel replica: a tensor-parallel group of model_parallel
     # chips shares each sample
+    assert args.model_parallel >= 1, args.model_parallel
+    assert jax.local_device_count() % args.model_parallel == 0, (
+        f"--model_parallel={args.model_parallel} must divide the local "
+        f"device count ({jax.local_device_count()}); otherwise the "
+        f"per-host batch would silently floor")
     per_host = (args.batch_size_per_gpu
                 * (jax.local_device_count() // args.model_parallel))
     idx = shard_indices(len(dataset), jax.process_index(), world,
@@ -283,6 +288,7 @@ def train_svt(args):
         "variants")
     mesh = build_mesh(model=args.model_parallel)
     d_shard = data_sharding(mesh)
+    state_sharding = None  # set by the TP / ZeRO-1 branches below
 
     if two_stream:
         assert cfg.DATA.NO_FLOW_AUG, (
@@ -458,12 +464,22 @@ def train_svt(args):
                   f"{n_chips} device(s), MFU {mfu:.1%} vs v5e bf16 peak",
                   flush=True)
 
-        # checkpointing (ref: train_ssl.py:441-455)
-        save_checkpoint(ckpt_path, state, {"epoch": epoch + 1})
+        # checkpointing (ref: train_ssl.py:441-455). TP/ZeRO-1 shard the
+        # state over mesh axes that can span hosts; save_checkpoint's
+        # rank-0 jax.device_get cannot read non-fully-addressable arrays,
+        # so EVERY process enters a jitted identity that re-replicates the
+        # state (the collective gather) before rank 0 writes it.
+        if state_sharding is not None and jax.process_count() > 1:
+            ckpt_state = jax.jit(
+                lambda s: s, out_shardings=replicated(mesh))(state)
+        else:
+            ckpt_state = state
+        save_checkpoint(ckpt_path, ckpt_state, {"epoch": epoch + 1})
         if args.saveckp_freq and (epoch % args.saveckp_freq == 0):
             save_checkpoint(
                 os.path.join(args.output_dir, f"checkpoint{epoch:04d}"),
-                state, {"epoch": epoch + 1})
+                ckpt_state, {"epoch": epoch + 1})
+        del ckpt_state
 
         metric_logger.synchronize_between_processes()
         train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
