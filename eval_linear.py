@@ -101,12 +101,15 @@ def eval_linear(args):
     import dataclasses
 
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
-        should_fuse)
+        ensure_fused_safe, should_fuse)
 
     # frozen-backbone forwards only -> fused Pallas phases are safe
-    # (whole-block kernels: one carry rounding per block instead of 3)
-    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(dtype),
-                           fused_wb=True)
+    # (whole-block kernels: one carry rounding per block instead of 3);
+    # converted checkpoints additionally pass the softmax-clamp guard
+    fuse = should_fuse(dtype)
+    if fuse and args.pretrained_weights:
+        fuse = ensure_fused_safe(params, mcfg, fuse, where="eval_linear")
+    mcfg = dataclasses.replace(mcfg, use_fused=fuse, fused_wb=True)
     scaled_lr = args.lr * args.batch_size_per_gpu * jax.device_count() / 256.0
     state, train_step, eval_step, epoch_lr = make_linear_probe(
         params, mcfg, num_labels=args.num_labels, lr=scaled_lr,

@@ -112,12 +112,14 @@ def evaluation(args):
     import dataclasses
 
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
-        should_fuse)
+        ensure_fused_safe, should_fuse)
 
-    # eval-only forwards: fused is safe
-    # (whole-block kernels: one carry rounding per block instead of 3)
-    mcfg = dataclasses.replace(mcfg, use_fused=should_fuse(compute_dtype),
-                           fused_wb=True)
+    # eval-only forwards: fused is safe (whole-block kernels: one carry
+    # rounding per block instead of 3); converted checkpoints additionally
+    # pass the softmax-clamp guard
+    fuse = ensure_fused_safe(params, mcfg, should_fuse(compute_dtype),
+                             where="timesformer_evaluation")
+    mcfg = dataclasses.replace(mcfg, use_fused=fuse, fused_wb=True)
 
     return evaluate_selection(
         dataset, params, mcfg, num_frames=args.num_frames,

@@ -103,6 +103,11 @@ def get_args_parser():
                         "(parallel/zero.py); params stay replicated. "
                         "Plain trainer variant, exclusive of "
                         "--model_parallel.")
+    p.add_argument("--num_shards", default=1, type=int,
+                   help="Expected number of host processes (ref: "
+                        "utils/parser.py:30-46). >1 makes a failed/absent "
+                        "jax.distributed launch a hard error instead of "
+                        "silently training on one host's data slice.")
     return p
 
 
@@ -178,7 +183,7 @@ def train_svt(args):
         fix_random_seeds, get_sha)
 
     enable_compilation_cache()
-    dist = init_distributed_mode()
+    dist = init_distributed_mode(num_shards=args.num_shards)
     fix_random_seeds(args.seed)
     print(f"git:\n  {get_sha()}\n")
     print("\n".join(f"{k}: {v}" for k, v in sorted(dict(vars(args)).items())))
@@ -271,10 +276,16 @@ def train_svt(args):
 
     compute_dtype = jnp.bfloat16 if args.use_fp16 else jnp.float32
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
-        should_fuse)
+        ensure_fused_safe, should_fuse)
     # fused kernels run per-device full-width and are not TP-aware —
     # tensor parallelism is an XLA-path feature (parallel/tp.py docstring)
-    if should_fuse(compute_dtype) and args.model_parallel == 1:
+    fuse = should_fuse(compute_dtype) and args.model_parallel == 1
+    if fuse and pretrained_backbone is not None:
+        # converted real checkpoints must clear the fused kernels'
+        # softmax-clamp guard (auto-fallback to XLA with a logged reason)
+        fuse = ensure_fused_safe(pretrained_backbone, mcfg, True,
+                                 where="train_ssl")
+    if fuse:
         # bf16 on a real TPU: run the glue-free fused block phases — the
         # custom-VJP Pallas kernels cover the backward too, so the whole
         # student gradient path stays fused (ops/fused_block.py). Dtype/
