@@ -105,6 +105,17 @@ MODES = {
                  "int8"),
     "turbo2-q8": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto", None,
                   0.0, "int8"),
+    # -q8s variants: W8A8 int8 STUDENT (r4). Under the guarded stride-8
+    # teacher the students are the FLOP majority (teacher_rows_frac ~0.13
+    # in BENCH_r03), so the MXU's s8 2x tier must apply to the student
+    # side to move the roofline. Teacher stays f32 (mixed tier) — its
+    # softmax at temp 0.02 is the noise amplifier; the student's 0.3 temp
+    # tolerates quantization far better (validator q8s rows).
+    "turbo2e-mt-q8s": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto",
+                       "f32", 0.035, None, "int8"),
+    # full-int8 economy tier: both sides quantized, unguarded stride 8
+    "turbo2-q8sq8t": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto",
+                      None, 0.0, "int8", "int8"),
     # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
@@ -234,6 +245,7 @@ def main():
     teacher_dtype_name = mode_spec[8] if len(mode_spec) > 8 else None
     teacher_refine = mode_spec[9] if len(mode_spec) > 9 else 0.0
     teacher_quant = mode_spec[10] if len(mode_spec) > 10 else None
+    student_quant = mode_spec[11] if len(mode_spec) > 11 else None
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -268,6 +280,7 @@ def main():
                                         else None),
                          teacher_refine=teacher_refine,
                          teacher_quant=teacher_quant,
+                         student_quant=student_quant,
                          wire_format=("yuv420q" if args.wire == "yuv420q"
                                       else "yuv420"))
 
@@ -316,10 +329,11 @@ def main():
     # non-overlapped initial wire stall (the first chunk's pieces must
     # land before any compute) plus the final readback latency once per
     # video; in corpus scoring both hide behind the neighboring videos'
-    # compute. Both numbers are reported; the headline is the sustained
-    # one (BENCH.md "Methodology").
+    # compute. The HEADLINE is the median over >= 3 sustained passes
+    # (BENCH.md "Methodology") — best/median single-video rates are
+    # companions, never the headline.
     sustained = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         handles = [scorer.score_video_async(frames, loc, glob, eff)
                    for _ in range(3)]
@@ -328,6 +342,33 @@ def main():
         frames_scored += 3 * T
         assert all(np.isfinite(o).all() for o in outs)
     sustained_best = max(sustained)
+    sustained_median = float(np.median(sustained))
+
+    # DEVICE-ONLY companion: the same sustained pass with the video's
+    # pieces pre-resident in HBM (no host->device traffic in the timed
+    # window). The tunnel's wire swings 2x run to run; this number is the
+    # wire-independent compute+dispatch rate a real v5e host (GB/s wire)
+    # would see, so driver telemetry decouples from tunnel luck.
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        _PieceBuffer)
+
+    wire_frames = frames
+    if frames.dtype != np.uint8:
+        wire_frames = frames.astype(np.dtype(scorer.compute_dtype))
+    dbuf = _PieceBuffer(wire_frames, scorer.piece, device=scorer.device)
+    dbuf.fire_until(dbuf.n_pieces)
+    for piece in dbuf._pieces.values():
+        piece.block_until_ready()
+    device_only = []
+    for _ in range(3):
+        t0 = time.time()
+        handles = [scorer.score_video_async(frames, loc, glob, eff, buf=dbuf)
+                   for _ in range(3)]
+        outs = [h.fetch() for h in handles]
+        device_only.append(3 * T / (time.time() - t0))
+        frames_scored += 3 * T
+        assert all(np.isfinite(o).all() for o in outs)
+    device_only_median = float(np.median(device_only))
     # the adaptive modes' teacher cost is data-dependent; report what was
     # actually paid (fraction of one teacher row per scored frame)
     teacher_rows_frac = round(
@@ -393,7 +434,10 @@ def main():
     flops_per_frame = scoring_flops_per_frame(
         cfg, local_size=3, eff_global=eff, global_subsample=subsample,
         teacher_stride=t_stride, score_stride=s_stride, teacher_img=t_img)
-    headline = max(best, sustained_best)
+    # the headline IS the sustained rate (median of 3 passes — BENCH.md
+    # "Methodology"); best single-video and device-only rates are
+    # companions. VERDICT r3 weak-#1: no max() headline selection.
+    headline = sustained_median
     achieved = headline * flops_per_frame
     wire_ceiling = wire_mb_s / frame_mb
     result = {
@@ -401,7 +445,9 @@ def main():
         "value": round(headline, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(headline / 1000.0, 4),
-        "value_sustained": round(sustained_best, 2),
+        "value_sustained": round(sustained_median, 2),
+        "value_sustained_best": round(sustained_best, 2),
+        "value_device_only": round(device_only_median, 2),
         "value_single_video": round(best, 2),
         "value_median": round(median, 2),
         "tflop_per_frame": round(flops_per_frame / 1e12, 4),

@@ -185,6 +185,18 @@ class ScorerConfig:
     # default promotion. Quantized teachers run the XLA path (the fused
     # kernels are float-only; the phase gates fall back automatically).
     teacher_quant: Optional[str] = None
+    # Quantize the STUDENT's dense weights to int8 ("int8" enables): the
+    # same W8A8 dynamic PTQ as teacher_quant (ops/quant.py), applied to the
+    # params the per-frame local-window forwards run. Rationale (r4): with
+    # the guarded stride-8 teacher the STUDENTS are now the FLOP majority
+    # (teacher_rows_frac ~0.13 — BENCH_r03), so the v5e MXU's 2x s8 tier
+    # must apply to the student side to move the roofline. Quantization
+    # noise enters the scored signal through log_softmax(s/0.3) — the
+    # student temp (0.3) is 15x softer than the teacher's (0.02), so the
+    # amplification is far milder than on the teacher side; validated by
+    # the same composite-vs-bf16-floor methodology before any default
+    # promotion (tools/validate_fast_scoring.py q8s rows).
+    student_quant: Optional[str] = None
     global_subsample: int = 1
     teacher_stride: int = 1
     score_stride: int = 1
@@ -375,6 +387,18 @@ class FrameScorer:
             from ..ops.quant import quantize_tree_int8
 
             t_params = quantize_tree_int8(src_params)
+        # int8 STUDENT (the r4 roofline lever — students are the FLOP
+        # majority under the guarded stride-8 teacher): same W8A8 scheme
+        # from the ORIGINAL params; the student forwards then ride the
+        # whole-block kernels' s8 x s8 -> s32 MXU tier (or XLA's
+        # qkernel-consuming linear() off the wb path).
+        self.student_quant = config.student_quant
+        if self.student_quant is not None:
+            if self.student_quant != "int8":
+                raise ValueError(f"student_quant={self.student_quant!r}")
+            from ..ops.quant import quantize_tree_int8
+
+            params = quantize_tree_int8(src_params)
         self.device = config.device
         if self.device is not None:
             # Commit the replica to the pinned device: every jit that

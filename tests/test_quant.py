@@ -152,3 +152,79 @@ def test_scorer_teacher_quant_strided():
                      teacher_quant="int8")
     got = sc.score_video(vid, loc, glob, eff)
     assert got.shape == (36,) and np.isfinite(got).all()
+
+
+def test_scorer_student_quant_runs_and_tracks():
+    """FrameScorer(student_quant="int8") — the r4 roofline lever: students
+    quantized, teacher untouched; scores finite and rank-correlated with
+    the unquantized scorer. The student temp (0.3) is 15x softer than the
+    teacher's, so rank agreement should be at least as good as the
+    teacher-quant case."""
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_numpy_params, make_video)
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        num_frames=4, num_classes=0)
+    params = make_numpy_params(cfg, 0)
+    vid = make_video(seed=2, T=40, size=32).astype(np.float32)
+    loc, glob, eff = window_indices(40, 3, 30)
+
+    base = FrameScorer(params, cfg, chunk=8, compute_dtype=np.float32,
+                       precision=None)
+    q = FrameScorer(params, cfg, chunk=8, compute_dtype=np.float32,
+                    precision=None, student_quant="int8")
+    assert "qkernel" in q.params["blocks"]["attn"]["qkv"]
+    assert "kernel" in q.t_params["blocks"]["attn"]["qkv"]
+
+    want = base.score_video(vid, loc, glob, eff)
+    got = q.score_video(vid, loc, glob, eff)
+    assert np.isfinite(got).all()
+    from scipy.stats import spearmanr
+
+    rho = spearmanr(want, got).statistic
+    assert rho > 0.9, rho
+
+
+def test_scorer_student_quant_strided_with_f32_teacher():
+    """The candidate default's plumbing (turbo2e-mt-q8s): int8 students +
+    f32 teacher + stride + refinement run end to end through the strided
+    dispatch; the teacher tree stays float, the student tree int8."""
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_numpy_params, make_video)
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        num_frames=4, num_classes=0)
+    params = make_numpy_params(cfg, 0)
+    vid = make_video(seed=3, T=36, size=32).astype(np.float32)
+    loc, glob, eff = window_indices(36, 3, 30)
+    sc = FrameScorer(params, cfg, chunk=8, teacher_stride=2,
+                     teacher_interp="catmullrom", teacher_refine=0.035,
+                     compute_dtype=np.float32, precision=None,
+                     teacher_dtype=jnp.float32, student_quant="int8")
+    assert "qkernel" in sc.params["blocks"]["attn"]["qkv"]
+    assert "kernel" in sc.t_params["blocks"]["attn"]["qkv"]
+    assert sc.t_params["blocks"]["attn"]["qkv"]["kernel"].dtype == jnp.float32
+    got = sc.score_video(vid, loc, glob, eff)
+    assert got.shape == (36,) and np.isfinite(got).all()
+
+
+def test_scorer_both_quant():
+    """Economy tier: both trees int8 (turbo2-q8sq8t plumbing)."""
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_numpy_params, make_video)
+
+    cfg = tsf.TimeSformerConfig(
+        img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        num_frames=4, num_classes=0)
+    params = make_numpy_params(cfg, 0)
+    vid = make_video(seed=4, T=24, size=32).astype(np.float32)
+    loc, glob, eff = window_indices(24, 3, 30)
+    sc = FrameScorer(params, cfg, chunk=8, teacher_stride=2,
+                     compute_dtype=np.float32, precision=None,
+                     teacher_quant="int8", student_quant="int8")
+    assert "qkernel" in sc.params["blocks"]["attn"]["qkv"]
+    assert "qkernel" in sc.t_params["blocks"]["attn"]["qkv"]
+    got = sc.score_video(vid, loc, glob, eff)
+    assert got.shape == (24,) and np.isfinite(got).all()

@@ -296,7 +296,25 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                       dict(teacher_stride=4, teacher_quant="int8")),
                      ("turbo2-q8-prod (bf16 s, int8 t, k8, cr)",
                       dict(teacher_stride=8, teacher_interp="catmullrom",
-                           teacher_quant="int8"))):
+                           teacher_quant="int8")),
+                     # int8 W8A8 STUDENT rows (r4): students are the FLOP
+                     # majority under the guarded stride-8 teacher, so
+                     # this is the roofline lever. The exact-geometry row
+                     # isolates student-quantization error; the composite
+                     # row is bench's turbo2e-mt-q8s candidate default;
+                     # the all-int8 row is the economy tier.
+                     ("q8s-exact (int8 s, f32 t)",
+                      dict(student_quant="int8",
+                           teacher_dtype=np.float32)),
+                     ("turbo2e-mt-q8s-prod (int8 s, f32 t, k8, cr, eref)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_refine=EREF_ALPHA,
+                           student_quant="int8")),
+                     ("turbo2-q8sq8t-prod (int8 s+t, k8, cr)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_quant="int8",
+                           student_quant="int8"))):
         if modes and name not in modes:
             continue
         measure(name, FrameScorer(params, cfg, chunk=chunk,
