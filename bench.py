@@ -116,6 +116,20 @@ MODES = {
     # full-int8 economy tier: both sides quantized, unguarded stride 8
     "turbo2-q8sq8t": ("bf16", None, 1, 8, 1, 0, "catmullrom", "auto",
                       None, 0.0, "int8", "int8"),
+    # -m2e: GUARDED score-stride 2 (r4) — the sibling of the teacher
+    # refinement applied to the loss curve itself: score every 2nd frame,
+    # bisect intervals whose measured LOO interpolation error exceeds
+    # alpha=0.2 of the video's mean loss. Calibrated on the committed
+    # reference MSVD curves: unguarded m=2 selection agreement 0.706 (far
+    # below the bf16 floor 0.85-0.89); guarded at alpha=0.2 recovers
+    # 0.858 == the 6%-noise floor at 0.82 student rows/frame — validated
+    # opt-in; savings are bounded because real loss curves are noise-
+    # dominated at frame granularity (eval_logs/fast_scoring_validation).
+    "turbo2e-mt-m2e": ("bf16", None, 1, 8, 2, 0, "catmullrom", "auto",
+                       "f32", 0.035, None, None, 0.2),
+    # the candidate compound: int8 students + guarded m=2
+    "turbo2e-mt-q8s-m2e": ("bf16", None, 1, 8, 2, 0, "catmullrom", "auto",
+                           "f32", 0.035, None, "int8", 0.2),
     # teacher_img 160 (FrameScorer knob) measured SLOWER than turbo here
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
@@ -246,6 +260,7 @@ def main():
     teacher_refine = mode_spec[9] if len(mode_spec) > 9 else 0.0
     teacher_quant = mode_spec[10] if len(mode_spec) > 10 else None
     student_quant = mode_spec[11] if len(mode_spec) > 11 else None
+    score_refine = mode_spec[12] if len(mode_spec) > 12 else 0.0
     if not args.chunk:
         args.chunk = 32 if t_stride > 1 else 16
 
@@ -281,6 +296,7 @@ def main():
                          teacher_refine=teacher_refine,
                          teacher_quant=teacher_quant,
                          student_quant=student_quant,
+                         score_refine=score_refine,
                          wire_format=("yuv420q" if args.wire == "yuv420q"
                                       else "yuv420"))
 
@@ -373,6 +389,8 @@ def main():
     # actually paid (fraction of one teacher row per scored frame)
     teacher_rows_frac = round(
         scorer.stats["teacher_rows"] / max(1, frames_scored), 4)
+    student_rows_frac = round(
+        scorer.stats["student_rows"] / max(1, frames_scored), 4)
 
     # wire diagnostic: host->device bandwidth bounds end-to-end throughput
     # at wire_mb_s / frame_mb regardless of compute (the bench tunnel runs
@@ -460,6 +478,7 @@ def main():
         # (partly) a wire measurement, not a compute one
         "wire_bound": bool(wire_ceiling < 1.5 * headline),
         "teacher_rows_frac": teacher_rows_frac,
+        "student_rows_frac": student_rows_frac,
     }
     if exact_fps is not None:
         result["exact_fps"] = round(exact_fps, 2)

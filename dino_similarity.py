@@ -96,6 +96,25 @@ def get_args_parser():
                    help=">1 = score every m-th frame only, interpolate the "
                         "loss curve between (fastest; selection quality "
                         "documented in BENCH.md — opt-in)")
+    p.add_argument("--score_refine", default=0.0, type=float,
+                   help="alpha > 0 = error-adaptive GUARD for "
+                        "--score_stride: bisect (with a second student "
+                        "pass) both intervals around every scored knot "
+                        "whose loss-curve leave-one-out interpolation "
+                        "error exceeds alpha x the video's mean loss. "
+                        "alpha 0.2 calibrated on the committed reference "
+                        "MSVD curves (recovers the bf16-floor selection "
+                        "agreement unguarded m=2 loses — BENCH.md)")
+    p.add_argument("--student_quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8 = W8A8 dynamic PTQ for the STUDENT forwards "
+                        "(per-channel weights, per-token activations) — "
+                        "the v5e MXU's 2x s8 tier on the scoring FLOP "
+                        "majority; quality rows in BENCH.md")
+    p.add_argument("--teacher_quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8 = W8A8 dynamic PTQ for the TEACHER forwards "
+                        "(the economy tier; quality rows in BENCH.md)")
     p.add_argument("--wire_format", default="rgb8",
                    choices=["rgb8", "yuv420", "yuv420q"],
                    help="host->device frame transport: yuv420 ships the "
@@ -159,6 +178,11 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         teacher_interp=cli.teacher_interp,
         teacher_adaptive=cli.teacher_adaptive,
         teacher_refine=cli.teacher_refine,
+        score_refine=cli.score_refine,
+        student_quant=(None if cli.student_quant == "none"
+                       else cli.student_quant),
+        teacher_quant=(None if cli.teacher_quant == "none"
+                       else cli.teacher_quant),
         teacher_dtype=(jnp.float32 if cli.teacher_precision == "float32"
                        else None),
         wire_format=cli.wire_format if cli.wire_format != "rgb8"

@@ -239,6 +239,22 @@ class ScorerConfig:
     # feature-noisy content self-degrades toward stride k/2. One
     # refinement round (stride k -> k/2 locally).
     teacher_refine: float = 0.0
+    # Error-adaptive SCORE-STRIDE refinement (alpha > 0 enables, needs
+    # score_stride m > 1): the sibling of ``teacher_refine`` applied to
+    # the per-frame loss curve itself. After the stride-m student pass,
+    # each interior scored knot's leave-one-out interpolation error —
+    # |l_j - lerp(l_{j-1}, l_{j+1})| / mean(l) — is computed on the host
+    # (the losses are scalars; the fetch this costs is the per-video sync
+    # the caller pays anyway), and both intervals around every knot whose
+    # error exceeds alpha are bisected with a second student pass (teacher
+    # rows for the midpoints come from the already-computed teacher-knot
+    # interpolation). Unguarded score_stride is the one validated-below-
+    # quality-bar lever (BENCH.md turbo-max); the guard spends extra rows
+    # exactly where the loss curve is measurably non-interpolable, so
+    # smooth content keeps the stride-m savings and event-dense content
+    # self-degrades toward full scoring. Normalization by the video's mean
+    # knot loss matches what selection consumes (the CDF of loss/sum).
+    score_refine: float = 0.0
     # Student dispatch batching: fuse this many model-batch chunks into
     # ONE device dispatch (lax.scan inside the jit — numerics identical,
     # the scan body is the single-chunk computation on the same rows).
@@ -311,6 +327,7 @@ class FrameScorer:
         self.teacher_target = config.teacher_target
         self.teacher_adaptive = max(0.0, float(config.teacher_adaptive))
         self.teacher_refine = max(0.0, float(config.teacher_refine))
+        self.score_refine = max(0.0, float(config.score_refine))
         self.student_dispatch = max(1, int(config.student_dispatch))
         teacher_img = config.teacher_img
         use_pallas = config.use_pallas
@@ -763,6 +780,59 @@ class FrameScorer:
         mids -= set(int(p) for p in tpos)
         return np.asarray(sorted(mids), dtype=tpos.dtype)
 
+    # -- error-adaptive score-stride refinement ----------------------------
+
+    def _loss_refine_mids(self, pos: np.ndarray,
+                          losses: np.ndarray) -> np.ndarray:
+        """Midpoints of both intervals around every scored knot whose
+        loss-curve leave-one-out interpolation error exceeds
+        ``score_refine`` (relative to the video's mean knot loss — the
+        scale the CDF selection normalizes by)."""
+        if len(pos) < 3:
+            return np.empty(0, pos.dtype)
+        l = np.asarray(losses, np.float64)
+        w = ((pos[1:-1] - pos[:-2]).astype(np.float64)
+             / np.maximum(pos[2:] - pos[:-2], 1))
+        l_hat = l[:-2] * (1.0 - w) + l[2:] * w
+        scale = max(float(np.abs(l).mean()), 1e-12)
+        errs = np.abs(l[1:-1] - l_hat) / scale
+        mids = set()
+        for i in np.nonzero(errs > self.score_refine)[0]:
+            for a, b in ((i, i + 1), (i + 1, i + 2)):
+                if pos[b] - pos[a] >= 2:
+                    mids.add((int(pos[a]) + int(pos[b])) // 2)
+        mids -= set(int(p) for p in pos)
+        return np.asarray(sorted(mids), dtype=pos.dtype)
+
+    def _score_refine_fetch(self, outs, buf, pos, local_idx, tpos, t_feats,
+                            eff_global: int, T: int):
+        """Deferred-fetch closure for the guarded score-stride: fetch the
+        stride-m losses (the per-video sync the caller pays anyway),
+        bisect the measurably non-interpolable intervals with a second
+        student pass (teacher rows interpolated from the existing knots),
+        and return the full (T,) curve. Runs at PendingScore.fetch() time
+        so the base pass stays fully async."""
+
+        def fetch():
+            losses = _fetch_outs(outs)
+            mids = self._loss_refine_mids(pos, losses)
+            if not len(mids):
+                return np.interp(np.arange(T), pos, losses)
+            self.stats["student_rows"] += len(mids)
+            t_mids = _interp_rows(tpos, t_feats, mids, self.teacher_interp)
+            sub = self._student_sub(len(mids))
+            _, student_fn = self._get_split(eff_global, sub)
+            m_outs = self._run_chunks_async(
+                student_fn, buf, mids, [local_idx], extra_rows=t_mids,
+                evict=False, chunk=self.chunk * sub)
+            m_losses = _fetch_outs(m_outs)
+            all_pos = np.concatenate([pos, mids])
+            order = np.argsort(all_pos)
+            return np.interp(np.arange(T), all_pos[order],
+                             np.concatenate([losses, m_losses])[order])
+
+        return fetch
+
     @staticmethod
     def _merge_knots(tpos: np.ndarray, feats, mids: np.ndarray, m_feats):
         """Sorted union of (tpos, feats) and (mids, m_feats); feats stay on
@@ -841,6 +911,9 @@ class FrameScorer:
 
         if m == 1:
             return PendingScore(outs)
+        if self.score_refine > 0.0:
+            return PendingScore([], lazy=self._score_refine_fetch(
+                outs, buf_b, pos, local_idx, tpos, t_feats, eff_global, T))
         return PendingScore(
             outs, post=lambda losses: np.interp(np.arange(T), pos, losses))
 
@@ -1054,6 +1127,9 @@ class FrameScorer:
                    for buf, pos, loc in zip(bufs, poss, locs)]
         outs = self._run_group_chunks(student_fn, s_specs, extra=extras,
                                       chunk=self.chunk * sub)
+        if m > 1 and self.score_refine > 0.0:
+            return self._group_score_refine_handles(
+                items, bufs, locs, poss, tposs, feats_list, outs, eff)
         gf = _GroupFetch(outs)
         handles, s = [], 0
         for it, pos in zip(items, poss):
@@ -1065,6 +1141,63 @@ class FrameScorer:
                                         post=post))
             s += len(pos)
         return handles
+
+    def _group_score_refine_handles(self, items, bufs, locs, poss, tposs,
+                                    feats_list, outs, eff):
+        """Guarded score-stride across a video group: ONE fetch of the
+        stride-m losses, one shared-chunk refinement student pass for every
+        video's bisection midpoints, then per-video merge + interpolation.
+        The closure runs at the first handle's fetch; results are cached
+        for the rest of the group."""
+        Ts = [it["frames"].shape[0] for it in items]
+
+        def compute():
+            flat = _fetch_outs(outs)
+            losses_list, s = [], 0
+            for pos in poss:
+                losses_list.append(flat[s:s + len(pos)])
+                s += len(pos)
+            mids_list = [self._loss_refine_mids(pos, l)
+                         for pos, l in zip(poss, losses_list)]
+            n_mids = sum(len(mm) for mm in mids_list)
+            m_losses_list = [np.empty(0)] * len(items)
+            if n_mids:
+                self.stats["student_rows"] += n_mids
+                sub = self._student_sub(n_mids)
+                _, student_fn = self._get_split(eff, sub)
+                sel = [i for i, mm in enumerate(mids_list) if len(mm)]
+                m_specs = [(bufs[i], mids_list[i], [locs[i]]) for i in sel]
+                m_extras = [
+                    _interp_rows(tposs[i], feats_list[i], mids_list[i],
+                                 self.teacher_interp) for i in sel]
+                m_outs = self._run_group_chunks(
+                    student_fn, m_specs, extra=m_extras,
+                    chunk=self.chunk * sub)
+                m_flat = _fetch_outs(m_outs)
+                s = 0
+                for i in sel:
+                    n = len(mids_list[i])
+                    m_losses_list[i] = m_flat[s:s + n]
+                    s += n
+            results = []
+            for T, pos, l, mids, ml in zip(Ts, poss, losses_list,
+                                           mids_list, m_losses_list):
+                all_pos = np.concatenate([pos, mids])
+                order = np.argsort(all_pos)
+                all_l = np.concatenate([l, ml])[order]
+                results.append(np.interp(np.arange(T), all_pos[order],
+                                         all_l))
+            return results
+
+        cache: dict = {}
+
+        def get(i):
+            if "res" not in cache:
+                cache["res"] = compute()
+            return cache["res"][i]
+
+        return [PendingScore([], lazy=partial(get, i))
+                for i in range(len(items))]
 
     def _refine_group(self, teacher_fn, bufs, globs, tposs, feats_list):
         """Error-adaptive refinement across a video group: every video's
@@ -1177,18 +1310,24 @@ class PendingScore:
     host post-processing (score-stride interpolation) and returns float64
     losses. ``ready`` short-circuits for host-computed results (dummies);
     ``group`` = (_GroupFetch, start, end) slices a cross-video batch's
-    shared output rows instead.
+    shared output rows instead; ``lazy`` defers to a closure that may
+    queue MORE device work at fetch time (the guarded score-stride's
+    refinement pass) — its result is cached so fetch() stays idempotent.
     """
 
     def __init__(self, outs: List[tuple], post=None,
                  ready: Optional[np.ndarray] = None,
-                 group: Optional[tuple] = None):
+                 group: Optional[tuple] = None, lazy=None):
         self._outs = outs
         self._post = post
         self._ready = ready
         self._group = group
+        self._lazy = lazy
 
     def fetch(self) -> np.ndarray:
+        if self._lazy is not None:
+            self._ready = self._lazy()
+            self._lazy = None
         if self._ready is not None:
             return np.asarray(self._ready, np.float64)
         if self._group is not None:

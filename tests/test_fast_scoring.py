@@ -494,3 +494,52 @@ def test_guarded_score_stride_on_reference_losses():
     assert 0.83 <= agree_frac <= 0.91, agree_frac
     assert 0.78 <= scored_frac <= 0.86, scored_frac
     assert agree_frac < floor, (agree_frac, floor)
+
+
+def test_score_refine_inf_is_plain_stride(tiny_setup):
+    """score_refine with an unreachable alpha == unguarded score_stride
+    (same knots, same interpolation, zero extra rows)."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    plain = scorer(teacher_stride=4, score_stride=2)
+    got_plain = plain.score_video(vid, loc, glob, eff)
+    guarded = scorer(teacher_stride=4, score_stride=2, score_refine=1e9)
+    got = guarded.score_video(vid, loc, glob, eff)
+    np.testing.assert_allclose(got, got_plain, rtol=1e-6)
+    assert guarded.stats["student_rows"] == plain.stats["student_rows"]
+
+
+def test_score_refine_adds_rows_and_improves(tiny_setup):
+    """A tight alpha refines measurably non-interpolable intervals: more
+    student rows than unguarded m=4, and at least as close to exact."""
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    plain = scorer(teacher_stride=4, score_stride=4)
+    got_plain = plain.score_video(vid, loc, glob, eff)
+    guarded = scorer(teacher_stride=4, score_stride=4, score_refine=0.05)
+    got = guarded.score_video(vid, loc, glob, eff)
+    assert np.isfinite(got).all()
+    assert guarded.stats["student_rows"] > plain.stats["student_rows"]
+    err_plain = np.abs(got_plain - exact).mean()
+    err_guard = np.abs(got - exact).mean()
+    assert err_guard <= err_plain + 1e-9, (err_guard, err_plain)
+    # scored knots keep their measured values: the refinement only adds
+    # positions, never perturbs existing ones
+    pos = np.arange(0, len(exact), 4)
+    np.testing.assert_allclose(got[pos][:3], got_plain[pos][:3], rtol=1e-6)
+
+
+def test_score_refine_group_matches_per_video(tiny_setup):
+    """The cross-video group path of the guarded score stride == the
+    per-video path (shared refinement chunks, same math)."""
+    from dino_video_summarization_transformer_tpu.utils.synthetic import (
+        make_video)
+
+    scorer, vid, loc, glob, eff, exact = tiny_setup
+    sc = scorer(teacher_stride=4, score_stride=2, score_refine=0.05)
+    vids = [vid, make_video(7, 100, 32)]
+    singles = [sc.score_video(v, loc, glob, eff) for v in vids]
+    items = [dict(frames=v, local_idx=loc, global_idx=glob,
+                  eff_global=eff, dummy=False, path=f"v{i}.avi")
+             for i, v in enumerate(vids)]
+    handles = sc.score_group_async(items)
+    for h, want in zip(handles, singles):
+        np.testing.assert_allclose(h.fetch(), want, rtol=2e-5, atol=1e-6)

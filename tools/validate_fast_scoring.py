@@ -41,6 +41,16 @@ REF_LOSS_JSON = "/root/reference/loss_values/loss_msvd_4_3_30.json"
 # validators well above, so refinement concentrates where it pays
 EREF_ALPHA = 0.035
 
+# LOO-error threshold for the GUARDED score-stride (ScorerConfig.
+# score_refine) — calibrated on the committed reference MSVD loss curves
+# (run_reference_json_validation "guarded" rows): at m=2, alpha=0.2 lands
+# selection agreement 0.858 == the 6%-relative bf16 noise floor (0.846)
+# at 0.82 student rows/frame; unguarded m=2 sits at 0.706. Real loss
+# curves are noise-dominated at frame granularity, so deeper savings at
+# floor quality do not exist on this data — the guard's value is turning
+# an invalid mode into a floor-quality one, not a large speedup.
+SREF_ALPHA = 0.2
+
 MODE_GRID = {
     "k2": dict(teacher_stride=2),
     "turbo(k4)": dict(teacher_stride=4),
@@ -73,6 +83,13 @@ MODE_GRID = {
                           teacher_interp="catmullrom",
                           teacher_refine=EREF_ALPHA),
     "turbo-max(k4m4)": dict(teacher_stride=4, score_stride=4),
+    # guarded score-stride (r4): LOO-bisect the loss curve where measured
+    # interpolation error exceeds SREF_ALPHA (ScorerConfig.score_refine)
+    "m2": dict(teacher_stride=4, score_stride=2),
+    "m2+sref": dict(teacher_stride=4, score_stride=2,
+                    score_refine=SREF_ALPHA),
+    "m4+sref": dict(teacher_stride=4, score_stride=4,
+                    score_refine=SREF_ALPHA),
     # low-resolution teacher: global windows bilinearly resized on device;
     # scaled below the validator's own image size by the 224-ratio
     "t-lowres": "teacher_lowres",
@@ -201,15 +218,17 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
     def measure(name, sc):
         sp, ag, ag1, re = [], [], [], []
         sc.stats["teacher_rows"] = 0
+        sc.stats["student_rows"] = 0
         for ex, v in zip(exact, videos):
             fs = sc.score_video(v, loc, glob, eff)
             sp.append(spearman(ex, fs))
             re.append(float(np.abs(fs - ex).mean() / ex.mean()))
             ag.append(selection_agreement(ex, fs, 16, 4, T))
             ag1.append(selection_agreement(ex, fs, 16, 4, T, 1))
-        # teacher cost actually paid (the adaptive modes are
+        # teacher/student cost actually paid (the adaptive modes are
         # data-dependent): fraction of the exact mode's one-row-per-frame
         t_cost = sc.stats["teacher_rows"] / float(T * len(videos))
+        s_cost = sc.stats["student_rows"] / float(T * len(videos))
         report[name] = {
             "spearman_mean": float(np.mean(sp)),
             "spearman_min": float(np.min(sp)),
@@ -218,10 +237,12 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
             "selection_agree_exact": float(np.mean(ag)),
             "selection_agree_tol1": float(np.mean(ag1)),
             "teacher_rows_frac": round(t_cost, 4),
+            "student_rows_frac": round(s_cost, 4),
         }
         print(f"{name}: spearman {np.mean(sp):.4f} (min {np.min(sp):.4f}), "
               f"relerr {np.mean(re):.4f}, sel-agree {np.mean(ag):.3f} "
-              f"(tol1 {np.mean(ag1):.3f}), t-rows {t_cost:.3f}", flush=True)
+              f"(tol1 {np.mean(ag1):.3f}), t-rows {t_cost:.3f}, "
+              f"s-rows {s_cost:.3f}", flush=True)
 
     # quantization noise floor: the accepted production numerics (on TPU
     # this row takes the fused Pallas path via use_pallas="auto", so it
@@ -314,7 +335,21 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
                      ("turbo2-q8sq8t-prod (int8 s+t, k8, cr)",
                       dict(teacher_stride=8, teacher_interp="catmullrom",
                            teacher_quant="int8",
-                           student_quant="int8"))):
+                           student_quant="int8")),
+                     # guarded score-stride composites (r4)
+                     ("turbo2e-mt-m2e-prod (bf16 s, f32 t, k8, cr, eref, "
+                      "m2+sref)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_refine=EREF_ALPHA,
+                           score_stride=2, score_refine=SREF_ALPHA)),
+                     ("turbo2e-mt-q8s-m2e-prod (int8 s, f32 t, k8, cr, "
+                      "eref, m2+sref)",
+                      dict(teacher_stride=8, teacher_interp="catmullrom",
+                           teacher_dtype=np.float32,
+                           teacher_refine=EREF_ALPHA,
+                           student_quant="int8",
+                           score_stride=2, score_refine=SREF_ALPHA))):
         if modes and name not in modes:
             continue
         measure(name, FrameScorer(params, cfg, chunk=chunk,
@@ -371,6 +406,67 @@ def run_reference_json_validation(rate: int = 4):
                     f"selection_agree_exact{suffix}": round(agree / tot, 4),
                     f"selection_agree_tol1{suffix}": round(agree1 / tot, 4),
                 })
+
+    # GUARDED score-stride calibration (ScorerConfig.score_refine): the
+    # alpha grid that picked SREF_ALPHA, kept in the artifact so the
+    # choice is reproducible. Context rows: the bf16-noise selection floor
+    # on the SAME curves (4-6% relative score noise — what the accepted
+    # production numerics already cost).
+    rng = np.random.RandomState(0)
+    floor = {}
+    for noise in (0.04, 0.06):
+        agr = []
+        for losses in data.values():
+            l = np.asarray(losses, float)
+            T = len(l)
+            if T < 32 or not np.isfinite(l).all() or l.sum() <= 0:
+                continue
+            ie, _ = adaptive_indices(l, 16, rate, T, T * rate)
+            ia, _ = adaptive_indices(l * (1 + noise * rng.randn(T)),
+                                     16, rate, T, T * rate)
+            agr.append(len(set(ie) & set(ia)) / len(ie))
+        floor[f"bf16_noise_{noise}"] = round(float(np.mean(agr)), 4)
+    report["selection_floor_N16"] = floor
+
+    def _loo_mids(pos, l, alpha):
+        if len(pos) < 3:
+            return np.empty(0, pos.dtype)
+        w = ((pos[1:-1] - pos[:-2]).astype(np.float64)
+             / np.maximum(pos[2:] - pos[:-2], 1))
+        l_hat = l[:-2] * (1.0 - w) + l[2:] * w
+        errs = np.abs(l[1:-1] - l_hat) / max(float(np.abs(l).mean()), 1e-12)
+        mids = set()
+        for i in np.nonzero(errs > alpha)[0]:
+            for a, b in ((i, i + 1), (i + 1, i + 2)):
+                if pos[b] - pos[a] >= 2:
+                    mids.add((int(pos[a]) + int(pos[b])) // 2)
+        mids -= set(int(p) for p in pos)
+        return np.asarray(sorted(mids), dtype=pos.dtype)
+
+    for m in (2, 4):
+        for alpha in (0.05, 0.1, 0.2, 0.4):
+            agr, cost = [], []
+            for losses in data.values():
+                l = np.asarray(losses, float)
+                T = len(l)
+                if T < 32 or not np.isfinite(l).all() or l.sum() <= 0:
+                    continue
+                pos = np.arange(0, T, m)
+                if pos[-1] != T - 1:
+                    pos = np.append(pos, T - 1)
+                mids = _loo_mids(pos, l[pos], alpha)
+                allp = np.concatenate([pos, mids])
+                order = np.argsort(allp)
+                approx = np.interp(np.arange(T), allp[order],
+                                   l[allp[order]])
+                ie, _ = adaptive_indices(l, 16, rate, T, T * rate)
+                ia, _ = adaptive_indices(approx, 16, rate, T, T * rate)
+                agr.append(len(set(ie) & set(ia)) / len(ie))
+                cost.append((len(pos) + len(mids)) / T)
+            report[f"guarded_m{m}_alpha{alpha}_N16"] = {
+                "selection_agree_exact": round(float(np.mean(agr)), 4),
+                "student_rows_frac": round(float(np.mean(cost)), 4),
+            }
     return report
 
 
