@@ -155,9 +155,20 @@ def pipeline_apply(
     specs_b = jax.tree.map(lambda _: P(axis), blocks)
     specs_m = jax.tree.map(lambda _: P(), micro)
     out_specs = jax.tree.map(lambda _: P(axis), micro)
-    outs = shard_map(per_stage, mesh=mesh,
-                     in_specs=(specs_b, specs_m),
-                     out_specs=out_specs)(blocks, micro)
+    try:
+        # partial-auto shard_map (jax >= 0.8 axis_names): only the pipe
+        # axis is manual — any OTHER mesh axes stay automatic, so a
+        # dp x tp x pp mesh composes (the data axis shards the batch and
+        # the model axis shards the block params under GSPMD, collectives
+        # inserted automatically INSIDE each pipe stage).
+        sm = shard_map(per_stage, mesh=mesh,
+                       in_specs=(specs_b, specs_m),
+                       out_specs=out_specs, axis_names={axis})
+    except TypeError:  # pragma: no cover - older jax: all axes manual
+        sm = shard_map(per_stage, mesh=mesh,
+                       in_specs=(specs_b, specs_m),
+                       out_specs=out_specs)
+    outs = sm(blocks, micro)
     # (pipe, n_micro, mb, ...) -> last stage's buffer -> (B, ...)
     return jax.tree.map(
         lambda a: a[-1].reshape((B,) + a.shape[3:]), outs)

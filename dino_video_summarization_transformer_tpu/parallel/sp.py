@@ -164,9 +164,16 @@ def sp_forward_features(
         return cls
 
     specs_b = jax.tree.map(lambda _: P(), params["blocks"])
-    cls_tok = shard_map(
-        run, mesh=mesh,
-        in_specs=(specs_b, P(), P(None, axis, None, None)),
-        out_specs=P())(params["blocks"], cls_tok, grid)
+    try:
+        # partial-auto (jax >= 0.8): only the seq axis is manual, so a
+        # data axis on the same mesh keeps sharding the batch under GSPMD
+        sm = shard_map(run, mesh=mesh,
+                       in_specs=(specs_b, P(), P(None, axis, None, None)),
+                       out_specs=P(), axis_names={axis})
+    except TypeError:  # pragma: no cover - older jax: all axes manual
+        sm = shard_map(run, mesh=mesh,
+                       in_specs=(specs_b, P(), P(None, axis, None, None)),
+                       out_specs=P())
+    cls_tok = sm(params["blocks"], cls_tok, grid)
 
     return layer_norm(params["norm"], cls_tok, eps=cfg.norm_eps)[:, 0]

@@ -102,6 +102,7 @@ def make_train_step(
     cnn_params=None,
     cnn_distill_weight: float = 0.0,
     state_sharding=None,
+    backbone_forward=None,
 ):
     """Returns jitted step(state, global_crops, local_crops, lr, wd,
     teacher_momentum, teacher_temp, freeze_flag) -> (state, metrics).
@@ -124,14 +125,23 @@ def make_train_step(
     0.0 reproduces that behavior exactly, weight > 0 enables a
     negative-cosine feature regression via the student's cnn_proj head
     (an extension, flagged as such).
+
+    ``backbone_forward``: optional (params, x) -> CLS features override
+    for BOTH student and teacher backbone passes of the plain variant —
+    the hook that runs the pipeline-/sequence-parallel forwards
+    (parallel/pp.py pp_forward_features, parallel/sp.py
+    sp_forward_features) inside the train step. Must be differentiable
+    and value-equal to tsf.forward (both are equivalence-pinned). The
+    default is the single-chip tsf.forward.
     """
     n_crops = 2 + n_local_crops
 
-    def fwd_student(params, x):
+    def fwd_backbone(params, x):
+        if backbone_forward is not None:
+            return backbone_forward(params, x)
         return tsf.forward(params, x, model_cfg, compute_dtype=compute_dtype)
 
-    if remat:
-        fwd_student = jax.checkpoint(fwd_student)
+    fwd_student = jax.checkpoint(fwd_backbone) if remat else fwd_backbone
 
     use_cnn = cnn_params is not None and cnn_distill_weight > 0.0
 
@@ -179,8 +189,7 @@ def make_train_step(
         s_l = fwd_student(student["backbone"], l_crops)
         s_out = dino_head_forward(
             student["head"], jnp.concatenate([s_g, s_l], axis=0))
-        t_g = tsf.forward(teacher["backbone"], g_crops, model_cfg,
-                          compute_dtype=compute_dtype)
+        t_g = fwd_backbone(teacher["backbone"], g_crops)
         t_out = dino_head_forward(teacher["head"], t_g)
         t_out = jax.lax.stop_gradient(t_out)
         loss, new_center = dino_loss(

@@ -222,3 +222,117 @@ def test_zero1_sharded_step_matches_single_device(tiny_setup):
     for a, b in zip(jax.tree.leaves(s1.opt_state),
                     jax.tree.leaves(s2.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_pipeline_step_matches_single_device(tiny_setup):
+    """dp2 x pipe4 mesh: the train step with both backbone forwards
+    pipelined (pp_forward_features via make_train_step's backbone_forward
+    hook) must equal the unsharded step — the GPipe schedule is plain
+    differentiable JAX, so values AND the optimizer update match."""
+    from functools import partial
+
+    from dino_video_summarization_transformer_tpu.parallel.pp import (
+        build_pipe_mesh, pp_forward_features)
+
+    cfg, state, core, mask, g, l = tiny_setup
+
+    step_single = make_train_step(cfg, core, mask, n_local_crops=2,
+                                  donate=False)
+    s1, m1 = step_single(state, jnp.asarray(g), jnp.asarray(l),
+                         1e-3, 1e-4, 0.99, 0.04, False)
+
+    mesh = build_pipe_mesh(4, data=2)
+    state_r = jax.device_put(state, replicated(mesh))
+    fwd = partial(pp_forward_features, cfg=cfg, mesh=mesh, n_micro=2)
+    step_pp = make_train_step(cfg, core, mask, n_local_crops=2, mesh=mesh,
+                              donate=False, backbone_forward=fwd)
+    s2, m2 = step_pp(
+        state_r,
+        jax.device_put(jnp.asarray(g), data_sharding(mesh)),
+        jax.device_put(jnp.asarray(l), data_sharding(mesh)),
+        1e-3, 1e-4, 0.99, 0.04, False)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.student),
+                    jax.tree.leaves(s2.student)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_seq_parallel_step_matches_single_device():
+    """dp4 x seq2 mesh: the train step with sequence-parallel backbone
+    forwards (sp_forward_features) equals the unsharded step. Needs
+    N % S == 0, so this test runs its own 64px geometry (N=16)."""
+    from functools import partial
+
+    from dino_video_summarization_transformer_tpu.parallel.sp import (
+        build_seq_mesh, sp_forward_features)
+
+    cfg = vit_tiny_config(num_frames=2, num_classes=0, img_size=64)
+    state, core, mask = init_train_state(
+        jax.random.key(1), cfg, out_dim=64, optimizer="adamw")
+    rng = np.random.RandomState(1)
+    B = 4
+    g = rng.randn(2 * B, 3, 2, 64, 64).astype(np.float32)
+    l = rng.randn(2 * B, 3, 2, 32, 32).astype(np.float32)
+
+    step_single = make_train_step(cfg, core, mask, n_local_crops=2,
+                                  donate=False)
+    s1, m1 = step_single(state, jnp.asarray(g), jnp.asarray(l),
+                         1e-3, 1e-4, 0.99, 0.04, False)
+
+    mesh = build_seq_mesh(2, data=4)
+    state_r = jax.device_put(state, replicated(mesh))
+    fwd = partial(sp_forward_features, cfg=cfg, mesh=mesh)
+    step_sp = make_train_step(cfg, core, mask, n_local_crops=2, mesh=mesh,
+                              donate=False, backbone_forward=fwd)
+    s2, m2 = step_sp(
+        state_r,
+        jax.device_put(jnp.asarray(g), data_sharding(mesh)),
+        jax.device_put(jnp.asarray(l), data_sharding(mesh)),
+        1e-3, 1e-4, 0.99, 0.04, False)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.student),
+                    jax.tree.leaves(s2.student)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_dp_tp_pp_composed_step_matches_single_device(tiny_setup):
+    """dp2 x tp2 x pipe2 — all three parallelism axes composed in ONE
+    train step: batch over data, Megatron TP params over model (GSPMD
+    collectives), blocks pipelined over pipe (manual ppermute under
+    partial-auto shard_map). Must equal the unsharded step."""
+    from functools import partial
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dino_video_summarization_transformer_tpu.parallel import (
+        tp_sharding_tree)
+    from dino_video_summarization_transformer_tpu.parallel.pp import (
+        pp_forward_features)
+
+    cfg, state, core, mask, g, l = tiny_setup
+
+    step_single = make_train_step(cfg, core, mask, n_local_crops=2,
+                                  donate=False)
+    s1, m1 = step_single(state, jnp.asarray(g), jnp.asarray(l),
+                         1e-3, 1e-4, 0.99, 0.04, False)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2, 2),
+                ("data", "model", "pipe"))
+    st_shard = tp_sharding_tree(state, mesh)
+    state_s = jax.device_put(state, st_shard)
+    fwd = partial(pp_forward_features, cfg=cfg, mesh=mesh, n_micro=2)
+    step3 = make_train_step(cfg, core, mask, n_local_crops=2, mesh=mesh,
+                            donate=False, state_sharding=st_shard,
+                            backbone_forward=fwd)
+    dsh = NamedSharding(mesh, P("data"))
+    s2, m2 = step3(state_s,
+                   jax.device_put(jnp.asarray(g), dsh),
+                   jax.device_put(jnp.asarray(l), dsh),
+                   1e-3, 1e-4, 0.99, 0.04, False)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.student),
+                    jax.tree.leaves(s2.student)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

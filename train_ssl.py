@@ -17,6 +17,7 @@ import math
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -108,6 +109,24 @@ def get_args_parser():
                         "utils/parser.py:30-46). >1 makes a failed/absent "
                         "jax.distributed launch a hard error instead of "
                         "silently training on one host's data slice.")
+    p.add_argument("--pipeline", default=1, type=int,
+                   help="Pipeline-parallel stages (parallel/pp.py, GPipe "
+                        "fill/drain over the block stack via ppermute): "
+                        "the mesh becomes data x pipe and both backbone "
+                        "forwards in the train step run pipelined. Plain "
+                        "trainer variant; exclusive of --model_parallel/"
+                        "--seq_parallel.")
+    p.add_argument("--pipe_micro", default=2, type=int,
+                   help="Microbatches per pipeline tick group (bubble "
+                        "fraction = (pipe-1)/(micro+pipe-1)); must divide "
+                        "every crop batch (2B global, n_local*B local).")
+    p.add_argument("--seq_parallel", default=1, type=int,
+                   help="Sequence-parallel degree (parallel/sp.py, "
+                        "Ulysses-style all_to_all specialized to divided "
+                        "attention): the token grid is sharded over "
+                        "spatial positions / frames inside each block. "
+                        "Plain trainer variant; exclusive of the other "
+                        "parallelism flags.")
     return p
 
 
@@ -206,15 +225,21 @@ def train_svt(args):
                           two_token=two_token, rand_fr=rand_fr,
                           get_flow=two_stream, seed=args.seed)
     world = jax.process_count()
-    # per data-parallel replica: a tensor-parallel group of model_parallel
-    # chips shares each sample
-    assert args.model_parallel >= 1, args.model_parallel
-    assert jax.local_device_count() % args.model_parallel == 0, (
-        f"--model_parallel={args.model_parallel} must divide the local "
+    # per data-parallel replica: a tensor-/pipeline-/sequence-parallel
+    # group of chips shares each sample
+    assert min(args.model_parallel, args.pipeline, args.seq_parallel) >= 1
+    assert sum(x > 1 for x in (args.model_parallel, args.pipeline,
+                               args.seq_parallel)) <= 1, (
+        "--model_parallel / --pipeline / --seq_parallel are exclusive "
+        "(compose dp with ONE of them; dp x tp x pp is dryrun-only for "
+        "now — __graft_entry__.dryrun_multichip)")
+    group = max(args.model_parallel, args.pipeline, args.seq_parallel)
+    assert jax.local_device_count() % group == 0, (
+        f"the parallelism group size ({group}) must divide the local "
         f"device count ({jax.local_device_count()}); otherwise the "
         f"per-host batch would silently floor")
     per_host = (args.batch_size_per_gpu
-                * (jax.local_device_count() // args.model_parallel))
+                * (jax.local_device_count() // group))
     idx = shard_indices(len(dataset), jax.process_index(), world,
                         shuffle=True, seed=args.seed, drop_last=True)
 
@@ -277,9 +302,16 @@ def train_svt(args):
     compute_dtype = jnp.bfloat16 if args.use_fp16 else jnp.float32
     from dino_video_summarization_transformer_tpu.ops.fused_block import (
         ensure_fused_safe, should_fuse)
-    # fused kernels run per-device full-width and are not TP-aware —
-    # tensor parallelism is an XLA-path feature (parallel/tp.py docstring)
-    fuse = should_fuse(compute_dtype) and args.model_parallel == 1
+    # fused kernels run per-device full-width — tensor/pipeline/sequence
+    # parallelism are XLA-path features (parallel/*.py docstrings)
+    fuse = should_fuse(compute_dtype) and group == 1
+    if should_fuse(compute_dtype) and group > 1:
+        print("WARNING: --model_parallel/--pipeline/--seq_parallel force "
+              "the XLA block path — the fused Pallas kernels (the ~2x "
+              "train-step MFU tier, BENCH.md) run per-device full-width "
+              "only. Expect roughly half the single-chip step MFU per "
+              "device; use plain DP when the model fits one chip.",
+              flush=True)
     if fuse and pretrained_backbone is not None:
         # converted real checkpoints must clear the fused kernels'
         # softmax-clamp guard (auto-fallback to XLA with a logged reason)
@@ -293,11 +325,34 @@ def train_svt(args):
         import dataclasses as _dc
 
         mcfg = _dc.replace(mcfg, use_fused=True)
-    assert (args.model_parallel == 1 and not args.zero1) or not (
+    assert (group == 1 and not args.zero1) or not (
         two_stream or rand_fr), (
-        "--model_parallel/--zero1 support the plain/two_token trainer "
-        "variants")
-    mesh = build_mesh(model=args.model_parallel)
+        "--model_parallel/--pipeline/--seq_parallel/--zero1 support the "
+        "plain/two_token trainer variants")
+    assert group == 1 or not two_token, (
+        "--pipeline/--seq_parallel/--model_parallel support the plain "
+        "trainer variant")
+    backbone_forward = None
+    if args.pipeline > 1:
+        from dino_video_summarization_transformer_tpu.parallel.pp import (
+            build_pipe_mesh, pp_forward_features)
+
+        mesh = build_pipe_mesh(args.pipeline,
+                               data=jax.device_count() // args.pipeline)
+        backbone_forward = partial(
+            pp_forward_features, cfg=mcfg, mesh=mesh,
+            n_micro=args.pipe_micro, compute_dtype=compute_dtype)
+    elif args.seq_parallel > 1:
+        from dino_video_summarization_transformer_tpu.parallel.sp import (
+            build_seq_mesh, sp_forward_features)
+
+        mesh = build_seq_mesh(args.seq_parallel,
+                              data=jax.device_count() // args.seq_parallel)
+        backbone_forward = partial(
+            sp_forward_features, cfg=mcfg, mesh=mesh,
+            compute_dtype=compute_dtype)
+    else:
+        mesh = build_mesh(model=args.model_parallel)
     d_shard = data_sharding(mesh)
     state_sharding = None  # set by the TP / ZeRO-1 branches below
 
@@ -365,7 +420,8 @@ def train_svt(args):
             mesh=mesh, remat=args.use_remat, two_token=two_token,
             cnn_params=cnn_params,
             cnn_distill_weight=args.cnn_distill_weight,
-            state_sharding=state_sharding)
+            state_sharding=state_sharding,
+            backbone_forward=backbone_forward)
 
     # ---------------- schedules --------------------------------------------
     lr_sched, wd_sched, mom_sched = build_schedules(args, niter_per_ep)
