@@ -325,3 +325,89 @@ def convert_dino_vit2d_checkpoint(path: str, cfg):
 
     sd = strip_prefixes(load_torch_state_dict(path))
     return vit2d_to_pytree(sd, cfg)
+
+
+def pytree_to_reference_state_dict(
+    params: Mapping[str, Any], cfg: TimeSformerConfig
+) -> Dict[str, np.ndarray]:
+    """Inverse of ``timesformer_to_pytree``: export a JAX backbone pytree
+    as a reference-layout TimeSformer state_dict (torch naming, (out, in)
+    linear weights, (D, C, ps, ps) conv patch embed).
+
+    Two uses: (a) checkpoints trained HERE can be consumed by the PyTorch
+    reference / its published tooling (the interop direction SURVEY §5
+    checkpointing doesn't cover); (b) the real-asset validation harness
+    synthesizes reference-layout .pth stand-ins for its dry-run
+    (tools/validate_real_assets.py). Roundtrip is pinned by
+    tests/test_real_asset_harness.py.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def np32(x):
+        return np.asarray(x, np.float32)
+
+    def put_linear(prefix, p):
+        out[prefix + ".weight"] = np32(p["kernel"]).T
+        if "bias" in p:
+            out[prefix + ".bias"] = np32(p["bias"])
+
+    def put_ln(prefix, p):
+        out[prefix + ".weight"] = np32(p["scale"])
+        out[prefix + ".bias"] = np32(p["bias"])
+
+    out["cls_token"] = np32(params["cls_token"])
+    out["pos_embed"] = np32(params["pos_embed"])
+    if "time_embed" in params:
+        out["time_embed"] = np32(params["time_embed"])
+
+    k = np32(params["patch_embed"]["proj"]["kernel"])
+    ps = cfg.patch_size
+    C = cfg.in_chans
+    D = k.shape[-1]
+    # kernel[(kh*ps + kw)*C + c, d] -> w[d, c, kh, kw] (see
+    # timesformer_to_pytree's derivation)
+    out["patch_embed.proj.weight"] = (
+        k.reshape(ps, ps, C, D).transpose(3, 2, 0, 1))
+    out["patch_embed.proj.bias"] = np32(params["patch_embed"]["proj"]["bias"])
+
+    blocks = params["blocks"]
+    for i in range(cfg.depth):
+        b = jax_tree_index(blocks, i)
+        pre = f"blocks.{i}."
+        put_ln(pre + "norm1", b["norm1"])
+        put_linear(pre + "attn.qkv", b["attn"]["qkv"])
+        put_linear(pre + "attn.proj", b["attn"]["proj"])
+        put_ln(pre + "norm2", b["norm2"])
+        put_linear(pre + "mlp.fc1", b["mlp"]["fc1"])
+        put_linear(pre + "mlp.fc2", b["mlp"]["fc2"])
+        if "temporal_attn" in b:
+            put_ln(pre + "temporal_norm1", b["temporal_norm1"])
+            put_linear(pre + "temporal_attn.qkv", b["temporal_attn"]["qkv"])
+            put_linear(pre + "temporal_attn.proj", b["temporal_attn"]["proj"])
+            put_linear(pre + "temporal_fc", b["temporal_fc"])
+    put_ln("norm", params["norm"])
+    if "head" in params:
+        put_linear("head", params["head"])
+    return out
+
+
+def jax_tree_index(tree: Any, i: int) -> Any:
+    """Index every leaf's leading (stacked-depth) axis."""
+    import jax
+
+    return jax.tree.map(lambda a: np.asarray(a)[i], tree)
+
+
+def save_reference_checkpoint(path: str, params, cfg: TimeSformerConfig,
+                              checkpoint_key: str = "teacher",
+                              prefix: str = "backbone.") -> None:
+    """Write ``params`` as a reference-consumable .pth: the published SVT
+    layout ({checkpoint_key: {prefix + name: tensor}}) that
+    convert_svt_checkpoint (and the PyTorch reference's own loaders,
+    ref: utils/utils.py:71-99) read back."""
+    import torch
+
+    sd = pytree_to_reference_state_dict(params, cfg)
+    payload = {checkpoint_key: {prefix + k: torch.from_numpy(v.copy())
+                                for k, v in sd.items()}}
+    torch.save(payload, path)

@@ -1,0 +1,429 @@
+#!/usr/bin/env python
+"""One-command real-asset validation harness (VERDICT r3 next-#5).
+
+Turns asset availability into a verdict: given the published SVT
+checkpoint and the real MSVD / Kinetics-400 videos, run the ENTIRE
+quality story end to end and compare against the reference's committed
+artifacts —
+
+  1. convert   — kinetics400_vitb_ssl.pth -> JAX pytree
+                 (models/convert.py surgery; ref: models/helpers.py:96-201)
+  2. score     — per-frame DINO losses over the MSVD corpus at the
+                 reference geometry (local 3 / global 30 / rate 4,
+                 ref: dino_similarity.py:186-189), f32 + HIGHEST matmuls
+  3. bitmatch  — compare against the committed
+                 /root/reference/loss_values/loss_msvd_4_3_30.json.
+                 TOLERANCE POLICY (SURVEY §7): scores are float lists
+                 printed by Python; decode order and reduction order make
+                 bit equality across stacks meaningless, so a video passes
+                 when its max relative error <= --tol (default 1e-4; f32
+                 HIGHEST measures ~1e-5 vs the torch CPU oracle on the
+                 committed synthetic fixtures — tests/test_golden_scores).
+  4. select    — adaptive CDF selection from the scored losses vs uniform
+                 (quirk-exact index math, data/selection.py)
+  5. k400      — the eval-log methodology (ref: timesformer_evaluation.py):
+                 score the K400 test corpus, classify adaptively- and
+                 uniformly-selected 16-frame clips with the HF TimeSformer,
+                 report the adaptive-vs-uniform delta against the
+                 committed logs (73.14% vs 72.41%,
+                 /root/reference/eval_logs/k400_{adaptive,uniform}.log).
+
+Every stage skips cleanly (status "skipped": missing asset) so partial
+asset sets still produce a partial verdict; --dry_run synthesizes tiny
+stand-ins for EVERY asset (reference-layout .pth via
+models/convert.save_reference_checkpoint, native-encoded synthetic clips,
+a tiny HF classifier) and runs the full chain in CI, so the only untested
+line on real assets is the assets themselves
+(tests/test_real_asset_harness.py).
+
+Usage (real assets):
+  python tools/validate_real_assets.py \
+      --ckpt kinetics400_vitb_ssl.pth --msvd /data/YouTubeClips \
+      --k400 /data/k400_test --k400_csv /data/k400_test/test.csv \
+      --hf_model facebook/timesformer-base-finetuned-k400 --out out/
+
+Dry run (no assets needed):
+  python tools/validate_real_assets.py --dry_run --out out/
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_MSVD_JSON = "/root/reference/loss_values/loss_msvd_4_3_30.json"
+REF_K400_ADAPTIVE = 0.7314  # eval_logs/k400_adaptive.log final line
+REF_K400_UNIFORM = 0.7241   # eval_logs/k400_uniform.log final line
+
+
+def _cfg_for(data_dir: str, loss_file: str = ""):
+    from dino_video_summarization_transformer_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = data_dir
+    cfg.DATA.PATH_PREFIX = data_dir
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    if loss_file:
+        cfg.LOSS_FILE = loss_file
+    return cfg
+
+
+def stage_convert(args, report):
+    from dino_video_summarization_transformer_tpu.models import convert
+    from dino_video_summarization_transformer_tpu.models.timesformer import (
+        vit_base_config)
+
+    t0 = time.time()
+    if args.dry_run:
+        mcfg = _dry_model_cfg()
+    else:
+        mcfg = vit_base_config(num_frames=8, num_classes=0)
+    params = convert.convert_svt_checkpoint(
+        args.ckpt, mcfg, checkpoint_key=args.checkpoint_key)
+    n_params = sum(np.asarray(p).size for p in _leaves(params))
+    report["convert"] = {"status": "ok", "n_params": int(n_params),
+                        "seconds": round(time.time() - t0, 1)}
+    print(f"[convert] ok: {n_params / 1e6:.1f}M params from {args.ckpt}")
+    return params, mcfg
+
+
+def _leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
+
+
+def stage_score(args, params, mcfg, video_dir, loss_out, report, key):
+    """Score every video in ``video_dir`` (test.csv listing) at the
+    reference geometry; exports the loss JSON incrementally."""
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        DinoLossDataset)
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        FrameScorer, run_scoring)
+
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    cfg = _cfg_for(video_dir)
+    ds = DinoLossDataset(cfg, "test", args.local, args.glob, args.rate)
+    scorer = FrameScorer(
+        params, mcfg, chunk=args.chunk,
+        compute_dtype=(np.float32 if args.precision == "float32"
+                       else jnp.bfloat16),
+        precision="highest" if args.precision == "float32" else None,
+        clamp_check=not args.dry_run)
+    if os.path.exists(loss_out):
+        os.remove(loss_out)
+    run_scoring(ds, scorer, loss_out, num_workers=args.num_workers,
+                log_every=args.log_every)
+    n = len(json.load(open(loss_out)))
+    report[key] = {"status": "ok", "videos": n,
+                   "seconds": round(time.time() - t0, 1)}
+    print(f"[{key}] ok: {n} videos -> {loss_out}")
+    return loss_out
+
+
+def compare_loss_json(got_path: str, ref_path: str, tol: float) -> dict:
+    """The bit-match stage's comparator (kept importable for tests):
+    per-video max relative error vs the reference artifact; a video passes
+    at max_rel_err <= tol. Length mismatches beyond the reference's
+    truncate-to-video-length quirk fail the video."""
+    got = json.load(open(got_path))
+    ref = json.load(open(ref_path))
+    common = sorted(set(got) & set(ref))
+    out = {"videos_ref": len(ref), "videos_scored": len(got),
+           "videos_compared": len(common), "tol": tol}
+    if not common:
+        out.update(status="failed", reason="no common video keys")
+        return out
+    errs, fails, len_mismatch = [], [], 0
+    for k in common:
+        a = np.asarray(got[k], np.float64)
+        b = np.asarray(ref[k], np.float64)
+        if len(a) != len(b):
+            len_mismatch += 1
+            n = min(len(a), len(b))
+            a, b = a[:n], b[:n]
+        if len(a) == 0:
+            continue
+        rel = float(np.max(np.abs(a - b) / (np.abs(b) + 1e-12)))
+        errs.append(rel)
+        if rel > tol:
+            fails.append((k, rel))
+    out.update(
+        videos_pass=len(errs) - len(fails),
+        videos_fail=len(fails),
+        length_mismatches=len_mismatch,
+        max_rel_err=float(np.max(errs)) if errs else None,
+        mean_rel_err=float(np.mean(errs)) if errs else None,
+        worst=[{"video": k, "rel_err": e}
+               for k, e in sorted(fails, key=lambda t: -t[1])[:10]],
+    )
+    out["status"] = "ok" if not fails else "failed"
+    return out
+
+
+def stage_selection(args, loss_file, video_dir, report):
+    """Adaptive vs uniform index selection from the scored losses
+    (decode-free probe path; quirk-exact CDF math)."""
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        FrameSelectionDataset)
+
+    t0 = time.time()
+    cfg = _cfg_for(video_dir, loss_file)
+    overlaps = []
+    sel_a = FrameSelectionDataset(cfg, args.rate, "adaptive",
+                                  args.num_frames, return_type="Indices",
+                                  probe_only=True)
+    sel_u = FrameSelectionDataset(cfg, args.rate, "uniform",
+                                  args.num_frames, return_type="Indices",
+                                  probe_only=True)
+    for i in range(len(sel_a)):
+        ia = set(np.asarray(sel_a[i][0]).tolist())
+        iu = set(np.asarray(sel_u[i][0]).tolist())
+        overlaps.append(len(ia & iu) / max(1, len(ia)))
+    report["select"] = {
+        "status": "ok", "videos": len(overlaps),
+        "adaptive_vs_uniform_overlap": round(float(np.mean(overlaps)), 4),
+        "seconds": round(time.time() - t0, 1)}
+    print(f"[select] ok: {len(overlaps)} videos, adaptive/uniform overlap "
+          f"{np.mean(overlaps):.3f}")
+
+
+def stage_k400(args, loss_file, report):
+    """The eval-log methodology: classify adaptively- vs uniformly-selected
+    frames with the HF TimeSformer; report the delta vs the committed
+    reference logs."""
+    import jax.numpy as jnp
+
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        FrameSelectionDataset)
+    from dino_video_summarization_transformer_tpu.engine.classification import (
+        evaluate_selection)
+    from dino_video_summarization_transformer_tpu.models import convert
+    from dino_video_summarization_transformer_tpu.models.timesformer import (
+        TimeSformerConfig)
+
+    t0 = time.time()
+    hf_cfg_path = os.path.join(args.hf_model, "config.json")
+    hc = json.load(open(hf_cfg_path)) if os.path.exists(hf_cfg_path) else {}
+    mcfg = TimeSformerConfig(
+        img_size=hc.get("image_size", 224),
+        patch_size=hc.get("patch_size", 16),
+        num_frames=hc.get("num_frames", args.num_frames),
+        embed_dim=hc.get("hidden_size", 768),
+        depth=hc.get("num_hidden_layers", 12),
+        num_heads=hc.get("num_attention_heads", 12),
+        num_classes=len(hc.get("id2label", {})) or 400,
+    )
+    params = convert.convert_hf_timesformer(args.hf_model, mcfg)
+    accs = {}
+    for method in ("adaptive", "uniform"):
+        cfg = _cfg_for(args.k400, loss_file)
+        ds = FrameSelectionDataset(cfg, args.rate, method, args.num_frames,
+                                   return_type="Indices", mode="test")
+        log = os.path.join(args.out, f"k400_{method}.log")
+        accs[method] = evaluate_selection(
+            ds, params, mcfg, num_frames=args.num_frames, log_path=log,
+            compute_dtype=jnp.float32, limit=args.k400_limit or None)
+    delta = accs["adaptive"] - accs["uniform"]
+    ref_delta = REF_K400_ADAPTIVE - REF_K400_UNIFORM
+    report["k400"] = {
+        "status": "ok",
+        "adaptive_top1": round(accs["adaptive"], 4),
+        "uniform_top1": round(accs["uniform"], 4),
+        "delta": round(delta, 4),
+        "ref_adaptive_top1": REF_K400_ADAPTIVE,
+        "ref_uniform_top1": REF_K400_UNIFORM,
+        "ref_delta": round(ref_delta, 4),
+        # parity verdict: adaptive must beat uniform like the reference's
+        # logs show (the headline claim of the whole method)
+        "adaptive_beats_uniform": bool(delta > 0),
+        "seconds": round(time.time() - t0, 1)}
+    print(f"[k400] ok: adaptive {accs['adaptive']:.4f} vs uniform "
+          f"{accs['uniform']:.4f} (delta {delta:+.4f}; ref {ref_delta:+.4f})")
+
+
+# ---------------------------------------------------------------------------
+# dry-run stand-ins
+# ---------------------------------------------------------------------------
+
+def _dry_model_cfg():
+    from dino_video_summarization_transformer_tpu.models.timesformer import (
+        TimeSformerConfig)
+
+    return TimeSformerConfig(img_size=32, patch_size=16, embed_dim=64,
+                             depth=2, num_heads=2, num_frames=4,
+                             num_classes=0)
+
+
+def build_dry_assets(args):
+    """Synthesize every asset the harness needs, in the REAL formats:
+    a reference-layout .pth (save_reference_checkpoint), native-encoded
+    video corpora + test.csv listings, a tiny HF TimeSformer
+    (save_pretrained), and a 'reference' loss JSON produced by a first
+    scoring pass (so the bitmatch comparator runs for real)."""
+    from dino_video_summarization_transformer_tpu.data import video as vio
+    from dino_video_summarization_transformer_tpu.models import (
+        convert, init_timesformer)
+
+    import jax
+
+    os.makedirs(args.out, exist_ok=True)
+    mcfg = _dry_model_cfg()
+    params = init_timesformer(jax.random.key(0), mcfg)
+    args.ckpt = os.path.join(args.out, "dry_svt.pth")
+    convert.save_reference_checkpoint(args.ckpt, params, mcfg)
+
+    rng = np.random.RandomState(0)
+    for name, n_videos in (("msvd", 3), ("k400", 2)):
+        d = os.path.join(args.out, f"dry_{name}")
+        os.makedirs(d, exist_ok=True)
+        rows = []
+        for i in range(n_videos):
+            fn = f"{name}_clip{i}.avi"
+            vio.write_video(os.path.join(d, fn),
+                            rng.randint(0, 256, (80, 64, 64, 3), np.uint8),
+                            fps=30)
+            rows.append(f"{fn} {i % 2}\n")
+        with open(os.path.join(d, "test.csv"), "w") as f:
+            f.write("".join(rows))
+        setattr(args, name, d)
+
+    # tiny HF classifier for the k400 stage
+    from transformers import (TimesformerConfig,
+                              TimesformerForVideoClassification)
+    import torch
+
+    hf_cfg = TimesformerConfig(
+        image_size=32, patch_size=16, num_frames=args.num_frames,
+        hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=192, num_labels=2, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, drop_path_rate=0.0)
+    torch.manual_seed(0)
+    hf_model = TimesformerForVideoClassification(hf_cfg).eval()
+    args.hf_model = os.path.join(args.out, "dry_hf")
+    hf_model.save_pretrained(args.hf_model)
+    return mcfg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--ckpt", default="", help="published SVT .pth")
+    p.add_argument("--checkpoint_key", default="teacher")
+    p.add_argument("--msvd", default="", help="MSVD YouTubeClips dir "
+                   "(test.csv created if absent)")
+    p.add_argument("--k400", default="", help="K400 test video dir with "
+                   "test.csv ('path label' rows)")
+    p.add_argument("--hf_model", default="",
+                   help="HF TimeSformer dir for the k400 stage")
+    p.add_argument("--ref_msvd_json", default=REF_MSVD_JSON)
+    p.add_argument("--out", default="real_asset_validation")
+    p.add_argument("--tol", type=float, default=1e-4,
+                   help="bitmatch: max relative error per video (policy "
+                        "documented in the module docstring)")
+    p.add_argument("--precision", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--local", type=int, default=3)
+    p.add_argument("--glob", type=int, default=30)
+    p.add_argument("--rate", type=int, default=4)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--log_every", type=int, default=25)
+    p.add_argument("--k400_limit", type=int, default=0,
+                   help="cap K400 eval videos (0 = all)")
+    p.add_argument("--dry_run", action="store_true",
+                   help="synthesize every asset and run the full chain "
+                        "(CI mode — tests/test_real_asset_harness.py)")
+    args = p.parse_args(argv)
+
+    from dino_video_summarization_transformer_tpu.utils.cache import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
+    os.makedirs(args.out, exist_ok=True)
+    report = {"dry_run": bool(args.dry_run),
+              "argv": [a for a in (argv or sys.argv[1:])]}
+
+    if args.dry_run:
+        build_dry_assets(args)
+        # the dry "reference" artifact: a first scoring pass (the
+        # comparator then runs for real; a perturbed copy must FAIL —
+        # checked below)
+    elif not args.ckpt:
+        p.error("--ckpt required (or --dry_run)")
+
+    params, mcfg = stage_convert(args, report)
+
+    # ----- MSVD scoring + bitmatch -----
+    if args.msvd:
+        if not os.path.exists(os.path.join(args.msvd, "test.csv")):
+            from tools.msvd_annotations import write_annotations
+
+            write_annotations(args.msvd,
+                              os.path.join(args.msvd, "test.csv"))
+        loss_msvd = stage_score(args, params, mcfg, args.msvd,
+                                os.path.join(args.out, "loss_msvd.json"),
+                                report, "score_msvd")
+        ref_json = args.ref_msvd_json
+        if args.dry_run:
+            # synthesize the 'committed artifact' from this run + check
+            # the comparator's failure direction with a perturbed copy
+            ref_json = os.path.join(args.out, "dry_ref_msvd.json")
+            data = json.load(open(loss_msvd))
+            json.dump(data, open(ref_json, "w"))
+            bad = {k: list(np.asarray(v) * 1.5) for k, v in data.items()}
+            bad_path = os.path.join(args.out, "dry_bad_msvd.json")
+            json.dump(bad, open(bad_path, "w"))
+            neg = compare_loss_json(bad_path, ref_json, args.tol)
+            assert neg["status"] == "failed", neg
+            report["bitmatch_comparator_negative_check"] = "ok"
+        if os.path.exists(ref_json):
+            report["bitmatch"] = compare_loss_json(loss_msvd, ref_json,
+                                                   args.tol)
+            print(f"[bitmatch] {report['bitmatch']['status']}: "
+                  f"{report['bitmatch'].get('videos_pass')}/"
+                  f"{report['bitmatch'].get('videos_compared')} videos "
+                  f"within tol={args.tol} (max rel err "
+                  f"{report['bitmatch'].get('max_rel_err')})")
+        else:
+            report["bitmatch"] = {"status": "skipped",
+                                  "reason": f"{ref_json} not present"}
+        stage_selection(args, loss_msvd, args.msvd, report)
+    else:
+        for k in ("score_msvd", "bitmatch", "select"):
+            report[k] = {"status": "skipped", "reason": "--msvd not given"}
+
+    # ----- K400 eval-log methodology -----
+    if args.k400 and args.hf_model:
+        loss_k400 = stage_score(args, params, mcfg, args.k400,
+                                os.path.join(args.out, "loss_k400.json"),
+                                report, "score_k400")
+        stage_k400(args, loss_k400, report)
+    else:
+        for k in ("score_k400", "k400"):
+            report[k] = {"status": "skipped",
+                         "reason": "--k400/--hf_model not given"}
+
+    out_path = os.path.join(args.out, "validation_report.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report -> {out_path}")
+    failed = [k for k, v in report.items()
+              if isinstance(v, dict) and v.get("status") == "failed"]
+    if failed:
+        print(f"FAILED stages: {failed}")
+        return 1
+    print("all executed stages passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
