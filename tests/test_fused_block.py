@@ -10,6 +10,11 @@ import conftest  # noqa: F401
 import jax
 import jax.numpy as jnp
 
+# interpreter-mode Pallas compiles dominate suite wall time; this marker
+# lets `-m "not kernels"` run the quick tier (kernel coverage still runs
+# by default and in CI)
+pytestmark = pytest.mark.kernels
+
 from dino_video_summarization_transformer_tpu.models import timesformer as tsf
 from dino_video_summarization_transformer_tpu.ops import fused_block as fb
 from dino_video_summarization_transformer_tpu.ops.attention import (

@@ -19,7 +19,13 @@ from dino_video_summarization_transformer_tpu.parallel import (
 
 
 def _setup(depth_cfg_kw=None):
-    cfg = vit_tiny_config(num_frames=2, num_classes=0, img_size=32)
+    # depth 8 (not the full 12): compile time scales with the block
+    # count and dominates this file's wall time; 2 blocks per pipe
+    # stage / shard keeps every boundary case exercised
+    import dataclasses
+    cfg = dataclasses.replace(
+        vit_tiny_config(num_frames=2, num_classes=0, img_size=32),
+        depth=8)
     params = init_timesformer(jax.random.key(0), cfg)
     assert jax.tree.leaves(params["blocks"])[0].shape[0] % 4 == 0, (
         "test assumes depth divisible by pipe=4")

@@ -11,6 +11,7 @@ Ref protocol being approximated: /root/reference/dino_similarity.py:82-84.
 """
 
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -86,6 +87,7 @@ def test_forward_quantized_tracks_f32():
     assert err < 0.1, err
 
 
+@pytest.mark.kernels
 def test_wb_kernels_match_xla_int8():
     """The q8 whole-block kernel pair (interpret mode on CPU) == the XLA
     int8 forward within fused-kernel tolerance: same int8 weights, same

@@ -19,7 +19,13 @@ from dino_video_summarization_transformer_tpu.parallel import (
 
 def _setup(num_frames=4):
     # img 32 / patch 16 -> N=4; T=4: both divisible by seq=2 and 4
-    cfg = vit_tiny_config(num_frames=num_frames, num_classes=0, img_size=32)
+    # depth 8 (not the full 12): compile time scales with the block count
+    # and dominates this file's wall time; the sharded-block semantics
+    # don't depend on depth
+    import dataclasses
+    cfg = dataclasses.replace(
+        vit_tiny_config(num_frames=num_frames, num_classes=0,
+                        img_size=32), depth=8)
     params = init_timesformer(jax.random.key(0), cfg)
     x = jnp.asarray(
         np.random.RandomState(0).randn(2, 3, num_frames, 32, 32),
