@@ -743,25 +743,50 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     qkv = _dense_rows(yt.reshape(BN * T, D), wqkv_ref, sqkv)
     qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BN, T, 3 * D)
 
-    ones = jnp.ones((BN, T, 128 - hd), jnp.bfloat16)
+    # Block-diagonal position packing: at small T the per-position T x T
+    # attention is thousands of (T, hd) micro-matmuls — at T=3 they eat
+    # ~10x the MXU issue slots of the qkv dense while doing ~0 useful
+    # FLOPs (measured: the student forward ran at 66.7 TF/s vs the
+    # teacher's 97.4). Pack P positions into one (P*T)^2 masked score
+    # matmul per head: cross-position terms are zeroed AFTER the exp, so
+    # they also vanish from the ones-column denominator — values are
+    # exactly the unpacked path's (the pv matmul adds exact bf16 zeros).
+    P = 1
+    for cand in range(min(BN, 128 // max(1, T)), 1, -1):
+        if BN % cand == 0:
+            P = cand
+            break
+    PT = P * T
+    if P > 1:
+        seg_i = jax.lax.broadcasted_iota(jnp.int32, (PT, PT), 0) // T
+        seg_j = jax.lax.broadcasted_iota(jnp.int32, (PT, PT), 1) // T
+        blockmask = (seg_i == seg_j).astype(jnp.bfloat16)
+
+    ones = jnp.ones((BN // P, PT, 128 - hd), jnp.bfloat16)
     head_outs = []
     for h in range(H):
         q = qkv[:, :, h * hd:(h + 1) * hd]
         k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
         v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
         q, post = _fold_scale(q, hd)
+        if P > 1:
+            q = q.reshape(BN // P, PT, hd)
+            k = k.reshape(BN // P, PT, hd)
+            v = v.reshape(BN // P, PT, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (BN, T, T)
+            preferred_element_type=jnp.float32)  # (BN/P, PT, PT)
         if post is not None:
             s = s * post
         p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        if P > 1:
+            p = p * blockmask
         v_aug = jnp.concatenate([v, ones], axis=2)
         acc = _dot(
             p, v_aug, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        head_outs.append(
-            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
+        out_h = (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16)
+        head_outs.append(out_h.reshape(BN, T, hd) if P > 1 else out_h)
     a = jnp.concatenate(head_outs, axis=2).reshape(BN * T, D)
 
     proj = _dense_rows(a, wproj_ref, sproj)
@@ -800,6 +825,21 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
         block_n = max(1, min(N, _budget(512, out_dtype) // T))
     while N % block_n:
         block_n -= 1
+    if T <= 64:
+        # pack-aware choice: among divisors of N within the VMEM budget,
+        # prefer the one admitting the largest position-packing factor
+        # (see the kernel's block-diagonal packing) — e.g. N=196, T=3:
+        # plain budget picks 49 (pack 7), but 28 packs all 28 positions
+        # into one 84x84 masked matmul per head per step
+        def pack_of(bn):
+            best = 1
+            for cand in range(min(bn, 128 // max(1, T)), 1, -1):
+                if bn % cand == 0:
+                    return cand
+            return best
+
+        cands = [bn for bn in range(1, block_n + 1) if N % bn == 0]
+        block_n = max(cands, key=lambda bn: (pack_of(bn), bn))
     nb = N // block_n
     # (B, T, nb, bn, D) view — a free reshape — so the block's last two
     # dims (bn, D) cover their array dims in full, which Mosaic's block
