@@ -741,7 +741,7 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     yt = jnp.swapaxes(y, 0, 1)  # (BN, T, D)
 
     qkv = _dense_rows(yt.reshape(BN * T, D), wqkv_ref, sqkv)
-    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BN, T, 3 * D)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16)  # (BN*T, 3D)
 
     # Block-diagonal position packing: at small T the per-position T x T
     # attention is thousands of (T, hd) micro-matmuls — at T=3 they eat
@@ -751,12 +751,16 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     # matmul per head: cross-position terms are zeroed AFTER the exp, so
     # they also vanish from the ones-column denominator — values are
     # exactly the unpacked path's (the pv matmul adds exact bf16 zeros).
+    # Mosaic constraint: only the CONTIGUOUS qkv tensor is reshaped (a
+    # layout-preserving major-dim regroup); head slices happen after —
+    # reshaping a lane-sliced vector is an unsupported shape cast.
     P = 1
     for cand in range(min(BN, 128 // max(1, T)), 1, -1):
         if BN % cand == 0:
             P = cand
             break
     PT = P * T
+    qkv = qkv.reshape(BN // P, PT, 3 * D)
     if P > 1:
         seg_i = jax.lax.broadcasted_iota(jnp.int32, (PT, PT), 0) // T
         seg_j = jax.lax.broadcasted_iota(jnp.int32, (PT, PT), 1) // T
@@ -769,10 +773,6 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
         v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
         q, post = _fold_scale(q, hd)
-        if P > 1:
-            q = q.reshape(BN // P, PT, hd)
-            k = k.reshape(BN // P, PT, hd)
-            v = v.reshape(BN // P, PT, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (BN/P, PT, PT)
@@ -785,8 +785,8 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         acc = _dot(
             p, v_aug, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        out_h = (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16)
-        head_outs.append(out_h.reshape(BN, T, hd) if P > 1 else out_h)
+        head_outs.append(
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
     a = jnp.concatenate(head_outs, axis=2).reshape(BN * T, D)
 
     proj = _dense_rows(a, wproj_ref, sproj)
