@@ -630,9 +630,24 @@ def _temporal_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     qkv = _dot(
         y.reshape(BB * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BB, L, 3 * D)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16)
 
-    ones = jnp.ones((BB, L, 128 - hd), jnp.bfloat16)
+    # block-diagonal position packing (see _temporal_phase_tm_kernel):
+    # tiny (L, hd) per-position matmuls -> one (P*L)^2 masked matmul per
+    # head; value-exact (cross terms are exact bf16 zeros after the mask)
+    P = 1
+    for cand in range(min(BB, 128 // max(1, L)), 1, -1):
+        if BB % cand == 0:
+            P = cand
+            break
+    PL = P * L
+    qkv = qkv.reshape(BB // P, PL, 3 * D)
+    if P > 1:
+        seg_i = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0) // L
+        seg_j = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1) // L
+        blockmask = (seg_i == seg_j).astype(jnp.bfloat16)
+
+    ones = jnp.ones((BB // P, PL, 128 - hd), jnp.bfloat16)
     head_outs = []
     for h in range(H):
         q = qkv[:, :, h * hd:(h + 1) * hd]
@@ -645,6 +660,8 @@ def _temporal_phase_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         if post is not None:
             s = s * post
         p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        if P > 1:
+            p = p * blockmask
         v_aug = jnp.concatenate([v, ones], axis=2)
         acc = _dot(
             p, v_aug, (((2,), (1,)), ((0,), (0,))),
@@ -927,6 +944,13 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
         preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BN, T, 3 * D)
 
+    # NOTE: the forward kernel's block-diagonal position packing is NOT
+    # mirrored here — this backward retains every head's (s, pn) for the
+    # gradient math, and packed score matrices are P x larger, which
+    # blows the 16 MB scoped-VMEM budget at training geometry (measured:
+    # 17.6 MB requested at T=8/N=196/B=8). Values are identical either
+    # way; the unpacked recompute just trades a little MXU efficiency
+    # for fitting the retained activations.
     heads = []
     for h in range(H):
         q = qkv[:, :, h * hd:(h + 1) * hd]
