@@ -20,7 +20,11 @@ from dino_video_summarization_transformer_tpu.train.ssl import (
 
 @pytest.fixture(scope="module")
 def tiny_cfg():
-    return vit_tiny_config(num_frames=2, num_classes=0, img_size=32)
+    # depth 4: trainer-equivalence semantics don't depend on block count,
+    # and the 12-block scan dominated this file's compile wall time
+    import dataclasses
+    return dataclasses.replace(
+        vit_tiny_config(num_frames=2, num_classes=0, img_size=32), depth=4)
 
 
 def _tree_allclose(a, b, atol=1e-5):
@@ -142,7 +146,9 @@ def test_two_stream_sharded_matches_single(tiny_cfg):
 # ---------------------------------------------------------------------------
 
 def test_cnn_distill_term(tiny_cfg):
-    cfg = vit_tiny_config(num_frames=8, num_classes=0, img_size=64)
+    import dataclasses
+    cfg = dataclasses.replace(
+        vit_tiny_config(num_frames=8, num_classes=0, img_size=64), depth=4)
     cnn = s3d.init_s3d(jax.random.key(5))
     rng = np.random.RandomState(0)
     B = 1

@@ -17,7 +17,11 @@ from dino_video_summarization_transformer_tpu.train.ssl import (
 
 @pytest.fixture(scope="module")
 def tiny_setup():
-    cfg = vit_tiny_config(num_frames=2, num_classes=0, img_size=48)
+    # depth 4 (divisible by the pipe-4 / tp-2 splits below): sharding
+    # equivalence doesn't depend on block count; compile time does
+    import dataclasses
+    cfg = dataclasses.replace(
+        vit_tiny_config(num_frames=2, num_classes=0, img_size=48), depth=4)
     state, core, mask = init_train_state(
         jax.random.key(0), cfg, out_dim=128, optimizer="adamw")
     rng = np.random.RandomState(0)
@@ -267,7 +271,9 @@ def test_seq_parallel_step_matches_single_device():
     from dino_video_summarization_transformer_tpu.parallel.sp import (
         build_seq_mesh, sp_forward_features)
 
-    cfg = vit_tiny_config(num_frames=2, num_classes=0, img_size=64)
+    import dataclasses
+    cfg = dataclasses.replace(
+        vit_tiny_config(num_frames=2, num_classes=0, img_size=64), depth=4)
     state, core, mask = init_train_state(
         jax.random.key(1), cfg, out_dim=64, optimizer="adamw")
     rng = np.random.RandomState(1)
