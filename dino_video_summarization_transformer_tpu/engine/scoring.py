@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import yuv
+from ..models import banded
 from ..models import timesformer as tsf
 from ..train.dino import scoring_dino_loss
 
@@ -255,6 +256,28 @@ class ScorerConfig:
     # self-degrades toward full scoring. Normalization by the video's mean
     # knot loss matches what selection consumes (the CDF of loss/sum).
     score_refine: float = 0.0
+    # Banded one-pass scoring (models/banded.py): process each frame ONCE
+    # per pass instead of once per overlapping window. "both" runs a
+    # banded student pass (band = local window) AND a banded teacher pass
+    # (band = global window) — ~2 frame-units/frame instead of ~6.8, the
+    # only roofline-consistent route to 1000 f/s (BENCH.md). "teacher"
+    # keeps the exact windowed per-frame students and replaces only the
+    # teacher with the banded pass (every frame gets a real banded teacher
+    # row instead of a strided/interpolated one) — ~4 units/frame with the
+    # exact student signal intact. Approximation quantified by
+    # tools/validate_fast_scoring.py before any promotion; does not
+    # compose with the strided/subsample knobs (asserted).
+    band_mode: Optional[str] = None  # None | "both" | "teacher"
+    # Frames per banded dispatch (videos longer than this are processed in
+    # overlapping segments) and the overlap halo: emitted frames near a
+    # segment seam keep their full CLS window (halo >= global_size/2
+    # enforced) and lose only receptive field beyond +-halo.
+    band_chunk: int = 512
+    band_halo: int = 32
+    # Query-block size of the slab-blocked banded attention (keys per
+    # query = block + 2*(window-1), so smaller blocks waste fewer FLOPs
+    # on out-of-band keys at more dispatch steps).
+    band_block: int = 32
     # Student dispatch batching: fuse this many model-batch chunks into
     # ONE device dispatch (lax.scan inside the jit — numerics identical,
     # the scan body is the single-chunk computation on the same rows).
@@ -329,6 +352,32 @@ class FrameScorer:
         self.teacher_refine = max(0.0, float(config.teacher_refine))
         self.score_refine = max(0.0, float(config.score_refine))
         self.student_dispatch = max(1, int(config.student_dispatch))
+        self.band_mode = config.band_mode
+        if self.band_mode is not None:
+            if self.band_mode not in ("both", "teacher"):
+                raise ValueError(f"band_mode={self.band_mode!r}")
+            incompatible = {
+                "teacher_stride": self.teacher_stride > 1,
+                "score_stride": self.score_stride > 1,
+                "global_subsample": self.global_subsample > 1,
+                "teacher_img": bool(config.teacher_img),
+                "teacher_target": config.teacher_target != "cls",
+                "teacher_adaptive": self.teacher_adaptive > 0,
+                "teacher_refine": self.teacher_refine > 0,
+                "score_refine": self.score_refine > 0,
+            }
+            bad = [k for k, v in incompatible.items() if v]
+            if bad:
+                raise ValueError(
+                    f"band_mode does not compose with {bad}: the banded "
+                    "pass already computes every frame once")
+            if config.band_halo < self.global_size // 2:
+                raise ValueError(
+                    f"band_halo={config.band_halo} must cover half the "
+                    f"global window ({self.global_size // 2}) so seam "
+                    "frames keep their full CLS window")
+            if config.band_chunk < self.global_size:
+                raise ValueError("band_chunk must be >= global_size")
         teacher_img = config.teacher_img
         use_pallas = config.use_pallas
         # teacher_img r > 0: the teacher's global windows are bilinearly
@@ -435,7 +484,13 @@ class FrameScorer:
         # many teacher / student window rows this scorer has computed —
         # the adaptive refinement's actual FLOP cost is data-dependent, so
         # tools (validate_fast_scoring) and users read it here
-        self.stats = {"teacher_rows": 0, "student_rows": 0}
+        self.stats = {"teacher_rows": 0, "student_rows": 0,
+                      # banded-mode accounting: chunk rows actually
+                      # processed per pass (padding + seam halo included)
+                      # and the analytic FLOPs they cost — the honest MFU
+                      # denominators for bench.py
+                      "band_teacher_frames": 0, "band_student_frames": 0,
+                      "band_flops": 0.0}
 
     # -- compiled kernels ------------------------------------------------------
 
@@ -565,6 +620,83 @@ class FrameScorer:
 
         return self._wrap(student_chunks)
 
+    # -- banded one-pass kernels ------------------------------------------------
+
+    def _gather_frames(self, frames, idx, dtype):
+        """Flat (Cb,) gather + normalize from a piece span: (Cb, H, W, 3)
+        channels-last — the banded passes' input (each frame appears once;
+        no window duplication ever materializes)."""
+        v = jnp.take(frames, idx, axis=0)
+        if v.ndim == 3:  # packed I420 planes (Cb, rows, W)
+            unpack = (yuv.unpack_normalize_q
+                      if self.config.wire_format == "yuv420q"
+                      else yuv.unpack_normalize)
+            return unpack(v[:, None], self.mean, self.std, dtype)[:, 0]
+        if v.dtype == jnp.uint8:
+            vf = v.astype(jnp.float32) / 255.0
+            v = (vf - self.mean) / self.std
+        return v.astype(dtype)
+
+    def _build_band_pass(self, kind: str, Cb: int, eff: int):
+        """jit: (params_pair, span, idx (Cb,), t_real) -> (Cb, D) f32 CLS
+        rows of one banded pass (models/banded.py)."""
+        if kind == "student":
+            cfg, dtype, pidx = self.model_cfg, self.compute_dtype, 0
+        else:
+            cfg, dtype, pidx = self.t_model_cfg, self.teacher_dtype, 1
+        block = self.config.band_block
+
+        def run(params, span, idx, t_real):
+            fr = self._gather_frames(span, idx, dtype)
+            return banded.banded_cls_features(
+                params[pidx], fr, t_real, cfg, eff=eff,
+                compute_dtype=dtype, block=block)
+
+        return self._wrap(run)
+
+    def _get_band(self, kind: str, Cb: int, eff: int):
+        key = ("band", kind, Cb, eff)
+        if key not in self._jitted:
+            self._jitted[key] = self._build_band_pass(kind, Cb, eff)
+        return self._jitted[key]
+
+    def _band_loss_fn(self):
+        if "band_loss" not in self._jitted:
+            def f(s_rows, t_rows):
+                return scoring_dino_loss(
+                    s_rows, t_rows, teacher_temp=self.teacher_temp,
+                    student_temp=self.student_temp)
+            self._jitted["band_loss"] = jax.jit(f)
+        return self._jitted["band_loss"]
+
+    def _band_segments(self, T: int):
+        """[(w0, w1, e0, e1)]: compute windows [w0, w1) tiling the video
+        with ``band_halo`` overlap; rows [e0, e1) are emitted."""
+        cap = self.config.band_chunk
+        if T <= cap:
+            return [(0, T, 0, T)]
+        halo = self.config.band_halo
+        step = cap - 2 * halo
+        segs, e0 = [], 0
+        while e0 < T:
+            e1 = min(e0 + step, T)
+            segs.append((max(0, e0 - halo), min(T, e1 + halo), e0, e1))
+            e0 = e1
+        return segs
+
+    _BAND_BUCKETS = (64, 128, 256, 384, 512)
+
+    def _band_bucket(self, n: int) -> int:
+        """Pad segment lengths to a few static shapes so the jit cache
+        stays small and short videos don't pay full-cap padding."""
+        cap = self.config.band_chunk
+        for b in self._BAND_BUCKETS:
+            if b >= cap:
+                break
+            if n <= b:
+                return b
+        return cap if n <= cap else n
+
     def _get(self, eff_global: int):
         if eff_global not in self._jitted:
             self._jitted[eff_global] = self._build(eff_global)
@@ -691,6 +823,9 @@ class FrameScorer:
         callers that keep a video device-resident across calls (bench.py's
         wire-independent companion) pass it so no re-upload happens.
         """
+        if self.band_mode is not None:
+            return self._score_video_banded_async(
+                frames, local_idx, eff_global, buf=buf)
         if self.global_subsample > 1:
             global_idx = global_idx[:, ::self.global_subsample]
             eff_global = global_idx.shape[1]
@@ -715,6 +850,71 @@ class FrameScorer:
         """
         return self.score_video_async(
             frames, local_idx, global_idx, eff_global).fetch()
+
+    def _score_video_banded_async(self, frames: np.ndarray,
+                                  local_idx: np.ndarray, eff_global: int,
+                                  buf: Optional[_PieceBuffer] = None
+                                  ) -> "PendingScore":
+        """Banded one-pass scoring (ScorerConfig.band_mode): per segment,
+        one banded teacher pass (+ one banded student pass in "both" mode,
+        or the exact windowed student chunks in "teacher" mode). All
+        dispatches are queued sync-free like the other paths."""
+        from ..utils import flops as flops_mod
+
+        T = frames.shape[0]
+        mode = self.band_mode
+        if buf is None:
+            buf = self._make_buffer(frames)
+        evict = buf.n_pieces > MAX_RESIDENT_PIECES
+        P = buf.piece
+        loss_fn = self._band_loss_fn()
+        cfg = self.model_cfg
+        outs: List[tuple] = []
+        t_parts = []
+        for (w0, w1, e0, e1) in self._band_segments(T):
+            Lw = w1 - w0
+            Cb = self._band_bucket(Lw)
+            i0 = w0 // P
+            K = (w1 - 1) // P - i0 + 1
+            if evict:
+                buf.evict_below(i0)
+            buf.fire_until(i0 + K + 8)
+            span = buf.span(i0, K)
+            idx = jnp.asarray(
+                np.minimum(w0 + np.arange(Cb), w1 - 1) - i0 * P)
+            t_real = jnp.asarray(Lw, jnp.int32)
+            pair = (self.params, self.t_params)
+            t_fn = self._get_band("teacher", Cb, eff_global)
+            t_rows = t_fn(pair, span, idx, t_real)
+            self.stats["band_teacher_frames"] += Cb
+            self.stats["band_flops"] += flops_mod.banded_pass_flops(
+                cfg, Cb, eff_global, self.config.band_block)
+            if mode == "both":
+                s_fn = self._get_band("student", Cb, self.local_size)
+                s_rows = s_fn(pair, span, idx, t_real)
+                self.stats["band_student_frames"] += Cb
+                self.stats["band_flops"] += flops_mod.banded_pass_flops(
+                    cfg, Cb, self.local_size, self.config.band_block)
+                losses = loss_fn(s_rows, t_rows)
+                outs.append((losses[e0 - w0:e1 - w0], e1 - e0))
+            else:
+                t_parts.append(t_rows[e0 - w0:e1 - w0])
+        self.stats["teacher_rows"] += T
+        self.stats["student_rows"] += T
+        if mode == "both":
+            return PendingScore(outs)
+        # "teacher" hybrid: exact windowed students against the banded
+        # per-frame teacher rows (device-resident hand-off, no sync)
+        t_all = (t_parts[0] if len(t_parts) == 1
+                 else jnp.concatenate(t_parts, axis=0))
+        sub = self._student_sub(T)
+        skey = ("student", sub)
+        if skey not in self._jitted:
+            self._jitted[skey] = self._build_student(sub)
+        outs = self._run_chunks_async(
+            self._jitted[skey], buf, np.arange(T), [local_idx],
+            extra_rows=t_all, evict=evict, chunk=self.chunk * sub)
+        return PendingScore(outs)
 
     def _teacher_positions(self, pos: np.ndarray,
                            frames: np.ndarray) -> np.ndarray:
@@ -1031,6 +1231,11 @@ class FrameScorer:
         dummies fall back to the per-video paths; the rest share full
         chunks. The caller bounds group size (run_scoring keeps the total
         piece count under the resident budget)."""
+        if self.band_mode is not None:
+            # banded passes batch WITHIN a video (chunk buckets); videos
+            # are queued back-to-back — the per-video path is already
+            # sync-free, so grouping adds nothing to hide
+            return [self.score_item_async(it) for it in items]
         results: List[Optional[PendingScore]] = [None] * len(items)
         groups: Dict[int, List[int]] = {}
         for i, item in enumerate(items):

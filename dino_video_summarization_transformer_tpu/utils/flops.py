@@ -99,3 +99,44 @@ def scoring_flops_per_frame(
     m = max(1, score_stride)
     k = max(1, teacher_stride)
     return (student + teacher / k) / m
+
+
+def banded_pass_flops(
+    cfg: TimeSformerConfig,
+    n_frames: int,
+    eff: int,
+    block: int = 32,
+) -> float:
+    """FLOPs of ONE banded pass (models/banded.py) over an ``n_frames``
+    chunk with window/band length ``eff``.
+
+    Each frame is processed once: patch embed + per block a slab-blocked
+    banded temporal attention (keys per query S = min(C, P + 2*(eff-1)),
+    the out-of-band slab keys are masked but still paid for), a per-frame
+    spatial attention with per-frame CLS, the CLS window aggregation over
+    the same slab, and the MLP."""
+    C = n_frames
+    D = cfg.embed_dim
+    N = cfg.num_patches
+    mlp_hidden = int(D * cfg.mlp_ratio)
+    patch_in = cfg.patch_size * cfg.patch_size * cfg.in_chans
+
+    P = min(block, C)
+    while C % P:
+        P -= 1
+    S = min(C, P + 2 * (eff - 1))
+
+    per_frame = 2.0 * N * patch_in * D  # patch embed
+    per_block = 0.0
+    # temporal half: qkv + proj + temporal_fc on N patch tokens; banded
+    # scores/values against S slab keys
+    per_block += N * (2 * 3 * D * D + 2 * D * D + 2 * D * D)
+    per_block += N * (4 * S * D)
+    # spatial half: qkv + proj on (1 + N) tokens; patches attend (1 + N)
+    # own-frame keys; CLS attends N patches of S slab frames (+ self)
+    per_block += (N + 1) * (2 * 3 * D * D + 2 * D * D)
+    per_block += N * (4 * (N + 1) * D)
+    per_block += 4 * S * N * D
+    # MLP on (1 + N) tokens
+    per_block += (N + 1) * (2 * 2 * D * mlp_hidden)
+    return C * (per_frame + cfg.depth * per_block)
