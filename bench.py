@@ -141,6 +141,19 @@ MODES = {
     # despite 0.33 vs 0.52 TFLOP/frame: the 101-token teacher forward runs
     # at ~20% MFU on this chip, eating the FLOP savings — not a mode.
     "turbo-max": ("bf16", None, 1, 4, 4, 0, "linear", "auto"),
+    # banded one-pass scoring (r5, models/banded.py): each frame is
+    # processed ONCE per pass instead of once per overlapping window —
+    # ~2 frame-units/frame (~0.10 TFLOP) vs the guarded default's ~6.8,
+    # the only roofline-consistent route to 1000 f/s. band-mt = banded
+    # bf16 students + banded f32 (mixed) teacher; band-t-mt keeps the
+    # exact windowed per-frame students and bands only the teacher
+    # (~4 units/frame). Slot 13 = band_mode.
+    "band-mt": ("bf16", None, 1, 1, 1, 0, "linear", "auto", "f32",
+                0.0, None, None, 0.0, "both"),
+    "band": ("bf16", None, 1, 1, 1, 0, "linear", "auto", None,
+             0.0, None, None, 0.0, "both"),
+    "band-t-mt": ("bf16", None, 1, 1, 1, 0, "linear", "auto", "f32",
+                  0.0, None, None, 0.0, "teacher"),
 }
 
 
@@ -268,8 +281,9 @@ def main():
     teacher_quant = mode_spec[10] if len(mode_spec) > 10 else None
     student_quant = mode_spec[11] if len(mode_spec) > 11 else None
     score_refine = mode_spec[12] if len(mode_spec) > 12 else 0.0
+    band_mode = mode_spec[13] if len(mode_spec) > 13 else None
     if not args.chunk:
-        args.chunk = 32 if t_stride > 1 else 16
+        args.chunk = 32 if (t_stride > 1 or band_mode) else 16
 
     from dino_video_summarization_transformer_tpu.utils.cache import (
         enable_compilation_cache)
@@ -304,6 +318,7 @@ def main():
                          teacher_quant=teacher_quant,
                          student_quant=student_quant,
                          score_refine=score_refine,
+                         band_mode=band_mode,
                          wire_format=("yuv420q" if args.wire == "yuv420q"
                                       else "yuv420"))
 
@@ -326,9 +341,12 @@ def main():
         frames = np.random.RandomState(0).randn(T, 224, 224, 3).astype(np.float32)
     loc, glob, eff = window_indices(T, 3, 30)
 
-    # warmup / compile
+    # warmup / compile (banded modes: also compile the full-length bucket)
     scorer.score_video(frames[:64], loc[:64], glob[:64], eff)
-    scorer.stats = {"teacher_rows": 0, "student_rows": 0}
+    if band_mode:
+        scorer.score_video(frames, loc, glob, eff)
+    for k in scorer.stats:
+        scorer.stats[k] = type(scorer.stats[k])(0)
     frames_scored = 0
 
     rates = []
@@ -392,6 +410,20 @@ def main():
         frames_scored += 3 * T
         assert all(np.isfinite(o).all() for o in outs)
     device_only_median = float(np.median(device_only))
+    # banded FLOP accounting: the scorer accumulates the analytic cost of
+    # every banded pass it dispatched (padding/halo included); the hybrid
+    # mode adds its exact windowed students. Snapshot BEFORE the e2e /
+    # companion sections below touch the stats.
+    band_flops_per_frame = None
+    if band_mode:
+        from dino_video_summarization_transformer_tpu.utils.flops import (
+            timesformer_forward_flops)
+
+        total = scorer.stats["band_flops"]
+        if band_mode == "teacher":
+            total += scorer.stats["student_rows"] * timesformer_forward_flops(
+                cfg, 3)
+        band_flops_per_frame = total / max(1, frames_scored)
     # the adaptive modes' teacher cost is data-dependent; report what was
     # actually paid (fraction of one teacher row per scored frame)
     teacher_rows_frac = round(
@@ -424,7 +456,8 @@ def main():
     exact_fps = None
     companion_fps = None
     companion_mode = None
-    if args.mode in ("turbo", "turbo-mt", "turbo2e-mt") and not args.no_e2e:
+    if (args.mode in ("turbo", "turbo-mt", "turbo2e-mt", "band-mt")
+            and not args.no_e2e):
         ex_scorer = FrameScorer(params, cfg, chunk=16,
                                 compute_dtype=jnp.bfloat16, precision=None)
         ex_scorer.score_video(frames[:64], loc[:64], glob[:64], eff)
@@ -438,7 +471,13 @@ def main():
         # second companion: the PREVIOUS default (turbo-mt) when running
         # the turbo2e-mt headline, else the fast opt-in (turbo2-mt) — so
         # driver telemetry always carries both sides of the promotion
-        if args.mode == "turbo2e-mt":
+        if args.mode == "band-mt":
+            # banded headline: carry the PREVIOUS default (turbo2e-mt) so
+            # the promotion delta is measured same-run, same-tunnel
+            companion_mode = "turbo2e_mt_fps"
+            c_kw = dict(teacher_stride=8, teacher_interp="catmullrom",
+                        teacher_refine=0.035)
+        elif args.mode == "turbo2e-mt":
             companion_mode = "turbo_mt_fps"
             c_kw = dict(teacher_stride=4, teacher_interp="linear")
         else:
@@ -456,9 +495,12 @@ def main():
             c_rates.append(T / (time.time() - t0))
         companion_fps = max(c_rates)
 
-    flops_per_frame = scoring_flops_per_frame(
-        cfg, local_size=3, eff_global=eff, global_subsample=subsample,
-        teacher_stride=t_stride, score_stride=s_stride, teacher_img=t_img)
+    flops_per_frame = (band_flops_per_frame if band_flops_per_frame
+                       else scoring_flops_per_frame(
+                           cfg, local_size=3, eff_global=eff,
+                           global_subsample=subsample,
+                           teacher_stride=t_stride, score_stride=s_stride,
+                           teacher_img=t_img))
     # the headline IS the sustained rate (median of 3 passes — BENCH.md
     # "Methodology"); best single-video and device-only rates are
     # companions. VERDICT r3 weak-#1: no max() headline selection.

@@ -105,6 +105,16 @@ def get_args_parser():
                         "alpha 0.2 calibrated on the committed reference "
                         "MSVD curves (recovers the bf16-floor selection "
                         "agreement unguarded m=2 loses — BENCH.md)")
+    p.add_argument("--band", default="none",
+                   choices=["none", "both", "teacher"],
+                   help="banded one-pass scoring (models/banded.py): each "
+                        "frame is processed ONCE per pass instead of once "
+                        "per overlapping window. 'both' bands the student "
+                        "and teacher (~2 frame-units/frame, the 1000 f/s "
+                        "route); 'teacher' keeps the exact windowed "
+                        "students and bands only the teacher. Does not "
+                        "compose with the stride/subsample knobs; quality "
+                        "rows in BENCH.md")
     p.add_argument("--student_quant", default="none",
                    choices=["none", "int8"],
                    help="int8 = W8A8 dynamic PTQ for the STUDENT forwards "
@@ -179,6 +189,7 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         teacher_adaptive=cli.teacher_adaptive,
         teacher_refine=cli.teacher_refine,
         score_refine=cli.score_refine,
+        band_mode=(None if cli.band == "none" else cli.band),
         student_quant=(None if cli.student_quant == "none"
                        else cli.student_quant),
         teacher_quant=(None if cli.teacher_quant == "none"
@@ -192,7 +203,8 @@ def dino_similarity(cli, local_clip_size, global_clip_size, sampling_rate, file_
         clamp_check=bool(cli.pretrained_weights))
     approx = cli.global_subsample > 1 or cli.teacher_stride > 1 \
         or cli.score_stride > 1 or cli.teacher_adaptive > 0 \
-        or cli.teacher_refine > 0 or cli.wire_format != "rgb8"
+        or cli.teacher_refine > 0 or cli.wire_format != "rgb8" \
+        or cli.band != "none"
     if approx and cli.precision == "float32":
         print("NOTE: approximation/wire flags change scores; "
               "f32 bit-parity does not apply")

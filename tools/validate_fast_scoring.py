@@ -82,6 +82,11 @@ MODE_GRID = {
     "s2+k8+cr+eref": dict(global_subsample=2, teacher_stride=8,
                           teacher_interp="catmullrom",
                           teacher_refine=EREF_ALPHA),
+    # banded one-pass scoring (r5, models/banded.py): "band-t" replaces
+    # only the teacher with the banded per-frame pass (exact windowed
+    # students); "band" runs both passes banded (~2 frame-units/frame)
+    "band-t": dict(band_mode="teacher"),
+    "band": dict(band_mode="both"),
     "turbo-max(k4m4)": dict(teacher_stride=4, score_stride=4),
     # guarded score-stride (r4): LOO-bisect the loss curve where measured
     # interpolation error exceeds SREF_ALPHA (ScorerConfig.score_refine)
@@ -269,7 +274,15 @@ def run_model_validation(arch: str, n_videos: int, T: int, img: int,
     # composite PRODUCTION rows: approximation x bf16 x fused kernels,
     # exactly what bench.py ships — the stride error must not compound
     # with the quantization floor
-    for name, kw in (("turbo-prod (bf16,k4)", dict(teacher_stride=4)),
+    for name, kw in (# banded composites (r5): what a banded bench default
+                     # would ship — banded passes in production numerics
+                     ("band-mt-prod (bf16 banded s, f32 banded t)",
+                      dict(band_mode="both", teacher_dtype=np.float32)),
+                     ("band-t-mt-prod (bf16 windowed s, f32 banded t)",
+                      dict(band_mode="teacher", teacher_dtype=np.float32)),
+                     ("band-prod (bf16 banded s+t)",
+                      dict(band_mode="both")),
+                     ("turbo-prod (bf16,k4)", dict(teacher_stride=4)),
                      ("k8-prod (bf16)", dict(teacher_stride=8)),
                      ("turbo2-prod (bf16,k8,cr)",
                       dict(teacher_stride=8, teacher_interp="catmullrom")),
