@@ -157,6 +157,34 @@ MODES = {
 }
 
 
+def mode_scorer_kwargs(mode: str, wire: str = "yuv420") -> dict:
+    """FrameScorer keyword args for a named bench mode — the single
+    source of truth for what each mode ships (also consumed by
+    tools/validate_real_assets.py's fast-mode agreement stage)."""
+    import jax.numpy as jnp
+
+    spec = MODES[mode]
+    (dtype_name, precision, subsample, t_stride, s_stride,
+     t_img, t_interp, use_pallas) = spec[:8]
+    return dict(
+        compute_dtype=jnp.float32 if dtype_name == "f32" else jnp.bfloat16,
+        precision=precision,
+        global_subsample=subsample,
+        teacher_stride=t_stride,
+        score_stride=s_stride,
+        teacher_img=t_img,
+        teacher_interp=t_interp,
+        use_pallas=use_pallas,
+        teacher_dtype=(jnp.float32 if len(spec) > 8 and spec[8] else None),
+        teacher_refine=spec[9] if len(spec) > 9 else 0.0,
+        teacher_quant=spec[10] if len(spec) > 10 else None,
+        student_quant=spec[11] if len(spec) > 11 else None,
+        score_refine=spec[12] if len(spec) > 12 else 0.0,
+        band_mode=spec[13] if len(spec) > 13 else None,
+        wire_format=("yuv420q" if wire == "yuv420q" else "yuv420"),
+    )
+
+
 def _e2e_videos_per_min(scorer, n_videos: int = 6, raw_frames: int = 240,
                         rate: int = 4, num_frames: int = 16):
     """Full summarization pipeline on a synthetic corpus: encode N clips
@@ -273,15 +301,12 @@ def main():
                         "adaptive selection)")
     args = p.parse_args()
 
-    mode_spec = MODES[args.mode]
-    (dtype_name, precision, subsample, t_stride, s_stride,
-     t_img, t_interp, use_pallas) = mode_spec[:8]
-    teacher_dtype_name = mode_spec[8] if len(mode_spec) > 8 else None
-    teacher_refine = mode_spec[9] if len(mode_spec) > 9 else 0.0
-    teacher_quant = mode_spec[10] if len(mode_spec) > 10 else None
-    student_quant = mode_spec[11] if len(mode_spec) > 11 else None
-    score_refine = mode_spec[12] if len(mode_spec) > 12 else 0.0
-    band_mode = mode_spec[13] if len(mode_spec) > 13 else None
+    scorer_kw = mode_scorer_kwargs(args.mode, args.wire)
+    subsample = scorer_kw["global_subsample"]
+    t_stride = scorer_kw["teacher_stride"]
+    s_stride = scorer_kw["score_stride"]
+    t_img = scorer_kw["teacher_img"]
+    band_mode = scorer_kw["band_mode"]
     if not args.chunk:
         args.chunk = 32 if (t_stride > 1 or band_mode) else 16
 
@@ -305,22 +330,8 @@ def main():
 
     cfg = vit_base_config(num_frames=8, num_classes=0)
     params = init_timesformer(jax.random.key(0), cfg)
-    dtype = jnp.float32 if dtype_name == "f32" else jnp.bfloat16
 
-    scorer = FrameScorer(params, cfg, chunk=args.chunk, compute_dtype=dtype,
-                         precision=precision, global_subsample=subsample,
-                         teacher_stride=t_stride, score_stride=s_stride,
-                         teacher_img=t_img, teacher_interp=t_interp,
-                         use_pallas=use_pallas,
-                         teacher_dtype=(jnp.float32 if teacher_dtype_name
-                                        else None),
-                         teacher_refine=teacher_refine,
-                         teacher_quant=teacher_quant,
-                         student_quant=student_quant,
-                         score_refine=score_refine,
-                         band_mode=band_mode,
-                         wire_format=("yuv420q" if args.wire == "yuv420q"
-                                      else "yuv420"))
+    scorer = FrameScorer(params, cfg, chunk=args.chunk, **scorer_kw)
 
     T = args.frames
     if args.wire in ("yuv420", "yuv420q"):

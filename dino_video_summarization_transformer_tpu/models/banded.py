@@ -85,7 +85,7 @@ def _banded_temporal(p_norm, p_attn, p_fc, x, lo, eff: int, num_heads: int,
     halo = eff - 1
     S = min(C, P + 2 * halo)
 
-    def body(b, acc):
+    def body(_, b):
         q_b = jax.lax.dynamic_slice_in_dim(q, b * P, P, axis=0)
         s0 = jnp.clip(b * P - halo, 0, C - S)
         k_s = jax.lax.dynamic_slice_in_dim(k, s0, S, axis=0)
@@ -96,10 +96,12 @@ def _banded_temporal(p_norm, p_attn, p_fc, x, lo, eff: int, num_heads: int,
         valid = _band_mask(lo_b, s0, S, eff)  # (P, S)
         scores = jnp.where(valid[None, None], scores, -jnp.inf)
         pr = jax.nn.softmax(scores, axis=-1).astype(v_s.dtype)
-        o_b = jnp.einsum("hnps,snhd->pnhd", pr, v_s)
-        return jax.lax.dynamic_update_slice_in_dim(acc, o_b, b * P, axis=0)
+        return None, jnp.einsum("hnps,snhd->pnhd", pr, v_s)
 
-    out = jax.lax.fori_loop(0, nb, body, jnp.zeros_like(q))
+    # scan-with-stacked-output rather than fori_loop + dynamic_update of a
+    # full (C, N, H, hd) accumulator: XLA schedules the per-block emission
+    # measurably better at large C
+    _, out = jax.lax.scan(body, None, jnp.arange(nb))
     res = tsf.linear(p_attn["proj"], out.reshape(C, N, D))
     return x + tsf.linear(p_fc, res)
 
@@ -129,9 +131,7 @@ def _banded_spatial(p_norm, p_attn, cls, x, lo, eff: int, num_heads: int,
     halo = eff - 1
     S = min(C, P + 2 * halo)
 
-    def body(b, carry):
-        pat_acc, cls_acc = carry
-
+    def body(_, b):
         def blk(a):
             return jax.lax.dynamic_slice_in_dim(a, b * P, P, axis=0)
 
@@ -168,16 +168,9 @@ def _banded_spatial(p_norm, p_attn, cls, x, lo, eff: int, num_heads: int,
         lo_b = jax.lax.dynamic_slice_in_dim(lo, b * P, P)
         valid = _band_mask(lo_b, s0, S, eff).astype(jnp.float32)
         o_c = jnp.einsum("hpsd,ps->phd", o_ct, valid) / eff
+        return None, (o_p, o_c.astype(x.dtype))
 
-        pat_acc = jax.lax.dynamic_update_slice_in_dim(
-            pat_acc, o_p, b * P, axis=0)
-        cls_acc = jax.lax.dynamic_update_slice_in_dim(
-            cls_acc, o_c.astype(x.dtype), b * P, axis=0)
-        return pat_acc, cls_acc
-
-    pat_out, cls_out = jax.lax.fori_loop(
-        0, nb, body,
-        (jnp.zeros((C, N, H, hd), x.dtype), jnp.zeros((C, H, hd), x.dtype)))
+    _, (pat_out, cls_out) = jax.lax.scan(body, None, jnp.arange(nb))
     pat_res = tsf.linear(p_attn["proj"], pat_out.reshape(C, N, D))
     cls_res = tsf.linear(p_attn["proj"], cls_out.reshape(C, 1, D))
     return cls_res, pat_res

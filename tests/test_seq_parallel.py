@@ -71,3 +71,50 @@ def test_sp_rejects_indivisible_geometry():
     mesh = build_seq_mesh(seq=4, data=2)
     with pytest.raises(AssertionError):
         sp_forward_features(params, x, cfg, mesh)
+
+
+def test_sp_train_step_matches_plain():
+    """dp x sp TRAIN STEP (VERDICT r4 next-#7): the sequence-parallel
+    forward hooked into make_train_step must produce the same loss and
+    updated params as the plain data-parallel step — the SP gradient
+    path end to end, not just the forward."""
+    import dataclasses
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dino_video_summarization_transformer_tpu.parallel import replicated
+    from dino_video_summarization_transformer_tpu.train.ssl import (
+        init_train_state, make_train_step)
+
+    cfg = dataclasses.replace(
+        vit_tiny_config(num_frames=2, num_classes=0, img_size=64), depth=4)
+    state, core, mask = init_train_state(
+        jax.random.key(0), cfg, out_dim=128, optimizer="adamw")
+    mesh = build_seq_mesh(seq=2, data=4)
+
+    rng = np.random.RandomState(0)
+    B = 4
+    g = jnp.asarray(rng.randn(2 * B, 3, 2, 64, 64), jnp.float32)
+    l = jnp.asarray(rng.randn(2 * B, 3, 2, 32, 32), jnp.float32)
+
+    plain_step = make_train_step(cfg, core, mask, n_local_crops=2,
+                                 mesh=mesh, donate=False)
+    st0 = jax.device_put(state, replicated(mesh))
+    st_p, m_p = plain_step(st0, g, l, 1e-4, 1e-4, 0.996, 0.04, True)
+
+    sp_fwd = partial(sp_forward_features, cfg=cfg, mesh=mesh)
+    sp_step = make_train_step(cfg, core, mask, n_local_crops=2,
+                              mesh=mesh, donate=False,
+                              backbone_forward=sp_fwd)
+    st0 = jax.device_put(state, replicated(mesh))
+    dsh = NamedSharding(mesh, P("data"))
+    st_s, m_s = sp_step(st0, jax.device_put(g, dsh), jax.device_put(l, dsh),
+                        1e-4, 1e-4, 0.996, 0.04, True)
+
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    a = jax.tree.leaves(st_p.student)[0]
+    b = jax.tree.leaves(st_s.student)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-6)

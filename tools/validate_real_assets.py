@@ -128,6 +128,78 @@ def stage_score(args, params, mcfg, video_dir, loss_out, report, key):
     return loss_out
 
 
+def stage_fast_agreement(args, params, mcfg, video_dir, exact_json,
+                         report):
+    """Score the same corpus with each promoted FAST mode and measure
+    agreement against the exact pass: per-video Spearman / relative
+    error / adaptive-selection overlap. This is the asset-day story for
+    every approximation bench.py ships (VERDICT r4 next-#8): when real
+    MSVD + the published checkpoint are available, the same command
+    grades the fast modes on real data instead of synthetic validators."""
+    import jax.numpy as jnp
+
+    import bench as bench_mod
+    from dino_video_summarization_transformer_tpu.data.datasets import (
+        DinoLossDataset)
+    from dino_video_summarization_transformer_tpu.data.selection import (
+        adaptive_indices)
+    from dino_video_summarization_transformer_tpu.engine.scoring import (
+        FrameScorer, run_scoring)
+
+    exact = json.load(open(exact_json))
+    cfg = _cfg_for(video_dir)
+    out = {}
+    for mode in [m for m in args.fast_modes.split(",") if m]:
+        kw = bench_mod.mode_scorer_kwargs(mode)
+        kw["wire_format"] = "yuv420"
+        t0 = time.time()
+        ds = DinoLossDataset(cfg, "test", args.local, args.glob, args.rate,
+                             wire_format="yuv420")
+        scorer = FrameScorer(params, mcfg, chunk=args.chunk,
+                             clamp_check=not args.dry_run, **kw)
+        fast_json = os.path.join(args.out, f"loss_fast_{mode}.json")
+        if os.path.exists(fast_json):
+            os.remove(fast_json)
+        run_scoring(ds, scorer, fast_json, num_workers=args.num_workers,
+                    log_every=args.log_every)
+        fast = json.load(open(fast_json))
+        sp, re_, agree = [], [], []
+        for k, ex in exact.items():
+            if k not in fast or len(fast[k]) != len(ex):
+                continue
+            a = np.asarray(ex, float)
+            b = np.asarray(fast[k], float)
+            if not (np.isfinite(a).all() and np.isfinite(b).all()
+                    and a.sum() > 0):
+                continue
+            ra = np.argsort(np.argsort(a)).astype(float)
+            rb = np.argsort(np.argsort(b)).astype(float)
+            ra -= ra.mean()
+            rb -= rb.mean()
+            den = np.sqrt((ra * ra).sum() * (rb * rb).sum())
+            sp.append(float((ra * rb).sum() / den) if den else 1.0)
+            re_.append(float(np.abs(b - a).mean() / max(a.mean(), 1e-12)))
+            T = len(a)
+            ia, _ = adaptive_indices(a, args.num_frames, args.rate, T,
+                                     T * args.rate)
+            ib, _ = adaptive_indices(b, args.num_frames, args.rate, T,
+                                     T * args.rate)
+            agree.append(len(set(ia) & set(ib)) / max(len(ia), 1))
+        out[mode] = {
+            "videos": len(sp),
+            "spearman_mean": round(float(np.mean(sp)), 4) if sp else None,
+            "rel_err_mean": round(float(np.mean(re_)), 4) if re_ else None,
+            "rel_err_max": round(float(np.max(re_)), 4) if re_ else None,
+            "selection_agree_mean":
+                round(float(np.mean(agree)), 4) if agree else None,
+            "seconds": round(time.time() - t0, 1),
+        }
+        print(f"[fast {mode}] spearman {out[mode]['spearman_mean']} "
+              f"relerr {out[mode]['rel_err_mean']} "
+              f"sel-agree {out[mode]['selection_agree_mean']}")
+    report["fast_agreement"] = out
+
+
 def compare_loss_json(got_path: str, ref_path: str, tol: float) -> dict:
     """The bit-match stage's comparator (kept importable for tests):
     per-video max relative error vs the reference artifact; a video passes
@@ -339,6 +411,10 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=25)
     p.add_argument("--k400_limit", type=int, default=0,
                    help="cap K400 eval videos (0 = all)")
+    p.add_argument("--fast_modes", default="band-mt,turbo2e-mt",
+                   help="comma-separated bench.py modes to additionally "
+                        "score the MSVD corpus with, reporting agreement "
+                        "vs the exact pass ('' disables)")
     p.add_argument("--dry_run", action="store_true",
                    help="synthesize every asset and run the full chain "
                         "(CI mode — tests/test_real_asset_harness.py)")
@@ -397,6 +473,9 @@ def main(argv=None):
             report["bitmatch"] = {"status": "skipped",
                                   "reason": f"{ref_json} not present"}
         stage_selection(args, loss_msvd, args.msvd, report)
+        if args.fast_modes:
+            stage_fast_agreement(args, params, mcfg, args.msvd, loss_msvd,
+                                 report)
     else:
         for k in ("score_msvd", "bitmatch", "select"):
             report[k] = {"status": "skipped", "reason": "--msvd not given"}
