@@ -176,18 +176,31 @@ def _banded_spatial(p_norm, p_attn, cls, x, lo, eff: int, num_heads: int,
     return cls_res, pat_res
 
 
-def banded_block(p, cls, x, lo, eff: int, num_heads: int, block: int):
+def banded_block(p, cls, x, lo, eff: int, num_heads: int, block: int,
+                 t_real=None, use_fused: bool = False):
     """One divided block (ref: models/timesformer.py:116-185) in banded
     form: banded temporal half, per-frame spatial half with windowed CLS
-    aggregation, position-wise MLP on patches and CLS."""
-    x = _banded_temporal(p["temporal_norm1"], p["temporal_attn"],
-                         p["temporal_fc"], x, lo, eff, num_heads, block)
+    aggregation, position-wise MLP on patches and CLS.
+
+    ``use_fused`` routes the temporal attention through the Pallas kernel
+    (ops/banded_block.py — scores never touch HBM, locations packed) and
+    the MLPs through the fused row kernels; the per-frame spatial half
+    and the CLS window aggregation keep XLA for now."""
+    if use_fused:
+        from ..ops import banded_block as bb
+
+        x = bb.banded_temporal_phase(
+            p["temporal_norm1"], p["temporal_attn"], p["temporal_fc"],
+            x, t_real, eff, num_heads)
+    else:
+        x = _banded_temporal(p["temporal_norm1"], p["temporal_attn"],
+                             p["temporal_fc"], x, lo, eff, num_heads, block)
     cls_res, pat_res = _banded_spatial(p["norm1"], p["attn"], cls, x, lo,
                                        eff, num_heads, block)
     cls = cls + cls_res
     x = x + pat_res
     cls = cls + tsf.mlp(p["mlp"], tsf.layer_norm(p["norm2"], cls))
-    x = x + tsf.mlp(p["mlp"], tsf.layer_norm(p["norm2"], x))
+    x = tsf.mlp_phase_res(p["norm2"], p["mlp"], x, use_fused=use_fused)
     return cls, x
 
 
@@ -225,9 +238,15 @@ def banded_cls_features(params, frames, t_real, cfg, *, eff: int,
     x = x + te[0, eff // 2].astype(compute_dtype)
     lo = band_starts(jnp.arange(C), eff, t_real)
 
+    from ..ops import banded_block as bb
+
+    use_fused = (cfg.use_fused and bb.banded_ok(D, cfg.num_heads)
+                 and jnp.dtype(compute_dtype) in (jnp.bfloat16, jnp.float32))
+
     def body(carry, bp):
         c, g = banded_block(bp, carry[0], carry[1], lo, eff,
-                            cfg.num_heads, block)
+                            cfg.num_heads, block, t_real=t_real,
+                            use_fused=use_fused)
         return (c, g), None
 
     (cls, _), _ = jax.lax.scan(body, (cls, x), params["blocks"])

@@ -1,0 +1,189 @@
+"""Pallas TPU kernels for the banded one-pass scoring forwards.
+
+The XLA banded passes (models/banded.py) measure ~30-55 TF/s on the
+bench chip: the slab-blocked attention materializes its (H, N, P, S)
+score tensors in HBM and issues per-location micro-matmuls. This module
+provides the banded TEMPORAL attention as one Pallas kernel:
+
+* LN + the qkv projection stay in XLA (one large MXU-efficient matmul);
+  the kernel consumes q and kv blockwise, so scores never touch HBM;
+* keys come from a 3-frame-block slab (prev/cur/next blocks of P frames
+  via clamped BlockSpec index maps — fake absolute indices of the edge
+  duplicates fall outside the band mask, so no special-casing);
+* locations are PACKED block-diagonally into the score matmul (the r4
+  lesson from ops/attention.py: per-location (P, S) dots are MXU
+  issue-slot-bound at these sizes) with the band AND location masks
+  applied after the exp, and the softmax denominator ridden on a ones
+  column of V (no cross-lane reduction);
+* coverage requires P >= eff - 1 (the end-clamped windows reach eff-1
+  frames back) — asserted, P=32 covers the production eff<=30.
+
+Values equal models/banded._banded_temporal to bf16 tolerance
+(tests/test_banded_kernels.py pins CPU-interpret and the real chip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_block import _CLAMP, _dot, _fold_scale, _interpret, _fwd_params
+
+
+def banded_ok(D: int, num_heads: int) -> bool:
+    """Shape gate (mirrors fused_block.fused_ok): 128-lane-divisible model
+    dim, head_dim < 128 so the ones-column denominator fits the tile."""
+    return D % 128 == 0 and D // num_heads < 128
+
+
+def _banded_temporal_kernel(t_ref, q_ref, kvp_ref, kvc_ref, kvn_ref, o_ref,
+                            *, eff: int, num_heads: int, pack: int):
+    """One (frame-block, location-block) grid step.
+
+    q (1, P, 1, bn, D) bf16; kv* three (1, P, 1, bn, 2D) bf16 slab blocks;
+    t_ref (1, 1) SMEM int32 valid-frame count; o (1, P, 1, bn, D)."""
+    _, P, _, bn, D = q_ref.shape
+    H = num_heads
+    hd = D // H
+    S = 3 * P
+    Lp = pack
+    G = bn // Lp
+
+    ci = pl.program_id(0)
+    t_real = t_ref[0, 0]
+
+    q = q_ref[0, :, 0]  # (P, bn, D)
+    kv = jnp.concatenate(
+        [kvp_ref[0, :, 0], kvc_ref[0, :, 0], kvn_ref[0, :, 0]],
+        axis=0)  # (S, bn, 2D)
+    # location-major, then pack Lp locations per score matmul (contiguous
+    # reshapes only — lane slices happen after, per the Mosaic rule)
+    qt = jnp.swapaxes(q, 0, 1).reshape(G, Lp * P, D)
+    kvt = jnp.swapaxes(kv, 0, 1).reshape(G, Lp * S, 2 * D)
+
+    # mask on the packed (Lp*P, Lp*S) score matrix: same location AND the
+    # key's absolute frame index inside the query's clamp-shifted window.
+    # prev/next blocks clamped at the array edges keep their FAKE absolute
+    # indices here (< 0 or >= t_real), which the band test rejects.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (Lp * P, Lp * S), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (Lp * P, Lp * S), 1)
+    qi = ci * P + ri % P
+    kj = (ci - 1) * P + rj % S
+    lo = jnp.clip(qi - eff // 2, 0, jnp.maximum(t_real - eff, 0))
+    mask = ((ri // P == rj // S) & (kj >= lo)
+            & (kj < lo + eff)).astype(jnp.float32)
+
+    ones = jnp.ones((G, Lp * S, 128 - hd), jnp.bfloat16)
+    head_outs = []
+    for h in range(H):
+        qh = qt[:, :, h * hd:(h + 1) * hd]
+        kh = kvt[:, :, h * hd:(h + 1) * hd]
+        vh = kvt[:, :, D + h * hd:D + (h + 1) * hd]
+        qh, post = _fold_scale(qh, hd)
+        s = _dot(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                 preferred_element_type=jnp.float32)  # (G, LpP, LpS)
+        if post is not None:
+            s = s * post
+        p = (jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)) * mask).astype(
+            jnp.bfloat16)
+        v_aug = jnp.concatenate([vh, ones], axis=2)
+        acc = _dot(p, v_aug, (((2,), (1,)), ((0,), (0,))),
+                   preferred_element_type=jnp.float32)
+        head_outs.append(
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
+    out = jnp.concatenate(head_outs, axis=2)  # (G, Lp*P, D)
+    out = jnp.swapaxes(out.reshape(bn, P, D), 0, 1)  # (P, bn, D)
+    o_ref[0, :, 0] = out.astype(o_ref.dtype)
+
+
+def banded_temporal_attn(q: jnp.ndarray, kv: jnp.ndarray, t_real,
+                         eff: int, num_heads: int,
+                         block_p: int = 32, block_n: int = 0,
+                         pack: int = 0) -> jnp.ndarray:
+    """Banded multi-head attention over the frame axis.
+
+    q (C, N, D), kv (C, N, 2D) — the qkv projection computed in XLA
+    (operands are cast to bf16; accumulation is f32 in-kernel). Returns
+    (C, N, D) bf16 pre-projection attention outputs with each frame's
+    queries masked to its clamp-shifted eff-frame window.
+    """
+    C, N, D = q.shape
+    P = min(block_p, C)
+    while C % P:
+        P -= 1
+    assert P >= eff - 1, (
+        f"frame block {P} cannot cover the end-clamped {eff}-frame window")
+    if not block_n:
+        # VMEM: the kv slab is 3 blocks of (P, bn, 2D) bf16 — keep it
+        # around ~8 MB under the 16 MB scoped budget
+        block_n = N
+        while 3 * P * block_n * 2 * D * 2 > 8 * 1024 * 1024 or N % block_n:
+            block_n -= 1
+    bn = block_n
+    if not pack:
+        pack = 1
+        for cand in range(min(bn, max(1, 256 // P)), 1, -1):
+            if bn % cand == 0:
+                pack = cand
+                break
+    nbc = C // P
+    nbn = N // bn
+
+    q5 = q.astype(jnp.bfloat16).reshape(nbc, P, nbn, bn, D)
+    kv5 = kv.astype(jnp.bfloat16).reshape(nbc, P, nbn, bn, 2 * D)
+    t_arr = jnp.full((1, 1), t_real, jnp.int32)
+
+    q_spec = pl.BlockSpec((1, P, 1, bn, D), lambda ci, ni: (ci, 0, ni, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_specs = [
+        pl.BlockSpec((1, P, 1, bn, 2 * D),
+                     lambda ci, ni: (jnp.maximum(ci - 1, 0), 0, ni, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P, 1, bn, 2 * D),
+                     lambda ci, ni: (ci, 0, ni, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P, 1, bn, 2 * D),
+                     lambda ci, ni: (jnp.minimum(ci + 1, nbc - 1), 0, ni,
+                                     0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    t_spec = pl.BlockSpec((1, 1), lambda ci, ni: (0, 0),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_banded_temporal_kernel, eff=eff,
+                          num_heads=num_heads, pack=pack),
+        out_shape=jax.ShapeDtypeStruct((nbc, P, nbn, bn, D), jnp.bfloat16),
+        grid=(nbc, nbn),
+        in_specs=[t_spec, q_spec] + kv_specs,
+        out_specs=q_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=C * N * 4 * 3 * P * D * pack,
+            bytes_accessed=8 * C * N * D,
+            transcendentals=C * N * 3 * P * pack,
+        ),
+        interpret=_interpret(),
+        compiler_params=_fwd_params(),
+    )(t_arr, q5, *([kv5] * 3))
+    return out.reshape(C, N, D)
+
+
+def banded_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray, t_real,
+                          eff: int, num_heads: int,
+                          block_p: int = 32) -> jnp.ndarray:
+    """x + temporal_fc(proj(banded_attn(LN(x)))) — the banded divided
+    block's temporal half with the attention as a Pallas kernel and the
+    dense layers as XLA matmuls (bf16 operands when x is bf16; the mixed
+    tier keeps f32 carries with default-precision matmuls)."""
+    from ..models import timesformer as tsf
+
+    C, N, D = x.shape
+    y = tsf.layer_norm(p_norm, x)
+    qkv = tsf.linear(p_attn["qkv"], y)  # (C, N, 3D)
+    o = banded_temporal_attn(qkv[..., :D], qkv[..., D:], t_real, eff,
+                             num_heads, block_p=block_p)
+    res = tsf.linear(p_attn["proj"], o.astype(x.dtype))
+    return x + tsf.linear(p_fc, res)
