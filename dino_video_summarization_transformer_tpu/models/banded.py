@@ -187,16 +187,15 @@ def _banded_spatial_fused(p_norm, p_attn, cls, x, lo, eff: int,
 
     Returns (cls_res (C, 1, D), x_new (C, N, D) WITH residual applied).
     """
-    from ..ops import fused_block
+    from ..ops import banded_block as bb
 
     C, N, D = x.shape
     H = num_heads
     hd = D // H
     scale = hd ** -0.5
 
-    grid, _cls_frames = fused_block.fused_spatial_phase(
-        p_norm, p_attn, cls, x[:, None], num_heads)
-    x_new = grid[:, 0]
+    x_new, _cls_rows = bb.spatial_phase_pf(p_norm, p_attn, cls[:, 0], x,
+                                           num_heads)
 
     # --- CLS window aggregation (all t in win(i), incl. t = i) ----------
     y_c = tsf.layer_norm(p_norm, cls)

@@ -171,6 +171,105 @@ def banded_temporal_attn(q: jnp.ndarray, kv: jnp.ndarray, t_real,
     return out.reshape(C, N, D)
 
 
+def _spatial_pf_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                       wproj_ref, bproj_ref, go_ref, co_ref, *,
+                       num_heads: int):
+    """Per-frame-CLS variant of fused_block._spatial_phase_kernel: the
+    banded pass owns one CLS token PER FRAME, so cls arrives as (1, F, D)
+    rows instead of one (1, 1, D) row broadcast over the F frames — which
+    lets one grid step batch F frames of a chunk (F*(N+1) MXU rows)
+    instead of running the shared-CLS kernel at T=1."""
+    _, F, N, D = x_ref.shape
+    H = num_heads
+    hd = D // H
+    L = N + 1
+
+    x = x_ref[0]  # (F, N, D)
+    cls = cls_ref[0].reshape(F, 1, D)
+    seq = jnp.concatenate([cls.astype(x.dtype), x], axis=1)  # (F, L, D)
+
+    xf = seq.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = (y * g_ref[0] + b_ref[0]).astype(jnp.bfloat16)
+
+    qkv = _dot(y.reshape(F * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
+               preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(F, L, 3 * D)
+
+    ones = jnp.ones((F, L, 128 - hd), jnp.bfloat16)
+    head_outs = []
+    for h in range(H):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        q, post = _fold_scale(q, hd)
+        s = _dot(q, k, (((2,), (2,)), ((0,), (0,))),
+                 preferred_element_type=jnp.float32)
+        if post is not None:
+            s = s * post
+        p = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP)).astype(jnp.bfloat16)
+        v_aug = jnp.concatenate([v, ones], axis=2)
+        acc = _dot(p, v_aug, (((2,), (1,)), ((0,), (0,))),
+                   preferred_element_type=jnp.float32)
+        head_outs.append(
+            (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
+    a = jnp.concatenate(head_outs, axis=2).reshape(F * L, D)
+
+    proj = _dot(a, wproj_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    proj = (proj + bproj_ref[0]).reshape(F, L, D)
+    go_ref[0] = (x_ref[0] + proj[:, 1:, :].astype(x_ref.dtype)).astype(
+        go_ref.dtype)
+    co_ref[0] = proj[:, 0, :].astype(co_ref.dtype)
+
+
+def spatial_phase_pf(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
+                     num_heads: int, block_f: int = 4):
+    """Per-frame-CLS spatial phase: x (C, N, D), cls (C, D) ->
+    (x + res (C, N, D), cls attention rows (C, D), both post-proj)."""
+    C, N, D = x.shape
+    F = min(block_f, C)
+    while C % F:
+        F -= 1
+    x4 = x.reshape(C // F, F, N, D)
+    cls3 = cls.reshape(C // F, F, D)
+
+    g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
+    b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
+    wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    bqkv = p_attn["qkv"].get("bias")
+    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * D)
+    wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
+    bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
+
+    x_spec = pl.BlockSpec((1, F, N, D), lambda ci: (ci, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((1, F, D), lambda ci: (ci, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda ci: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    grid_out, cls_rows = pl.pallas_call(
+        functools.partial(_spatial_pf_kernel, num_heads=num_heads),
+        out_shape=(jax.ShapeDtypeStruct((C // F, F, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((C // F, F, D), x.dtype)),
+        grid=(C // F,),
+        in_specs=[x_spec, c_spec, full(1, D), full(1, D), full(D, 3 * D),
+                  full(1, 3 * D), full(D, D), full(1, D)],
+        out_specs=(x_spec, c_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=C * (N + 1) * (8 * D * D + 4 * (N + 1) * D),
+            bytes_accessed=2 * C * N * D * x.dtype.itemsize,
+            transcendentals=C * (N + 1) * (N + 1),
+        ),
+        interpret=_interpret(),
+        compiler_params=_fwd_params(),
+    )(x4, cls3, g, b, wqkv, bqkv, wproj, bproj)
+    return grid_out.reshape(C, N, D), cls_rows.reshape(C, D)
+
+
 def banded_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray, t_real,
                           eff: int, num_heads: int,
                           block_p: int = 32) -> jnp.ndarray:
