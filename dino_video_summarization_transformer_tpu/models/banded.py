@@ -176,70 +176,25 @@ def _banded_spatial(p_norm, p_attn, cls, x, lo, eff: int, num_heads: int,
     return cls_res, pat_res
 
 
-def _banded_spatial_fused(p_norm, p_attn, cls, x, lo, eff: int,
-                          num_heads: int, block: int):
+def _banded_spatial_fused(p_norm, p_attn, cls, x, t_real, eff: int,
+                          num_heads: int):
     """Fused-path twin of _banded_spatial: the per-frame patch/own-CLS
-    attention (incl. the patch residual) runs through the existing
-    spatial Pallas kernel with B=C frames and T=1 — the kernel's
-    one-CLS-per-batch-row broadcast IS the per-frame CLS protocol at
-    T=1 — and only the cheap CLS window aggregation stays in XLA (with
-    its k/v recomputed: ~2/3 of one qkv matmul, a few % of the block).
+    attention (incl. the patch residual) runs through the per-frame-CLS
+    spatial kernel, which also exports the LN+qkv K/V rows and the CLS
+    queries; the CLS window aggregation then runs as its own kernel over
+    those exports (ops/banded_block.cls_band_attn) — no recompute, no
+    HBM score tensors.
 
     Returns (cls_res (C, 1, D), x_new (C, N, D) WITH residual applied).
     """
     from ..ops import banded_block as bb
 
     C, N, D = x.shape
-    H = num_heads
-    hd = D // H
-    scale = hd ** -0.5
-
-    x_new, _cls_rows = bb.spatial_phase_pf(p_norm, p_attn, cls[:, 0], x,
-                                           num_heads)
-
-    # --- CLS window aggregation (all t in win(i), incl. t = i) ----------
-    y_c = tsf.layer_norm(p_norm, cls)
-    y_p = tsf.layer_norm(p_norm, x)
-    qkv_c = tsf.linear(p_attn["qkv"], y_c).reshape(C, 3, H, hd)
-    wk = {"kernel": p_attn["qkv"]["kernel"][:, D:]}
-    if "bias" in p_attn["qkv"]:
-        wk["bias"] = p_attn["qkv"]["bias"][D:]
-    kv_p = tsf.linear(wk, y_p).reshape(C, N, 2, H, hd)
-    q_c, k_c, v_c = qkv_c[:, 0], qkv_c[:, 1], qkv_c[:, 2]  # (C, H, hd)
-    k_p, v_p = kv_p[:, :, 0], kv_p[:, :, 1]
-
-    P = _block_size(C, block)
-    nb = C // P
-    halo = eff - 1
-    S = min(C, P + 2 * halo)
-
-    def body(_, b):
-        def blk(a):
-            return jax.lax.dynamic_slice_in_dim(a, b * P, P, axis=0)
-
-        qc_b, kc_b, vc_b = blk(q_c), blk(k_c), blk(v_c)
-        s0 = jnp.clip(b * P - halo, 0, C - S)
-        kp_s = jax.lax.dynamic_slice_in_dim(k_p, s0, S, axis=0)
-        vp_s = jax.lax.dynamic_slice_in_dim(v_p, s0, S, axis=0)
-        s_cp = jnp.einsum("phd,snhd->hpsn", qc_b, kp_s,
-                          preferred_element_type=jnp.float32) * scale
-        s_cc = jnp.einsum("phd,phd->hp", qc_b, kc_b,
-                          preferred_element_type=jnp.float32) * scale
-        m = jnp.maximum(jnp.max(s_cp, axis=-1), s_cc[:, :, None])
-        e_cp = jnp.exp(s_cp - m[..., None])
-        e_cc = jnp.exp(s_cc[:, :, None] - m)
-        den = e_cc + e_cp.sum(axis=-1)
-        o_ct = (jnp.einsum("hpsn,snhd->hpsd", e_cp,
-                           vp_s.astype(jnp.float32))
-                + e_cc[..., None] * vc_b.astype(jnp.float32)
-                .transpose(1, 0, 2)[:, :, None, :]) / den[..., None]
-        lo_b = jax.lax.dynamic_slice_in_dim(lo, b * P, P)
-        valid = _band_mask(lo_b, s0, S, eff).astype(jnp.float32)
-        return None, (jnp.einsum("hpsd,ps->phd", o_ct, valid) / eff
-                      ).astype(x.dtype)
-
-    _, cls_out = jax.lax.scan(body, None, jnp.arange(nb))
-    cls_res = tsf.linear(p_attn["proj"], cls_out.reshape(C, 1, D))
+    x_new, _cls_rows, kv_pat, kv_cls, q_cls = bb.spatial_phase_pf(
+        p_norm, p_attn, cls[:, 0], x, num_heads)
+    band = bb.cls_band_attn(q_cls, kv_cls, kv_pat, t_real, eff, num_heads)
+    cls_res = tsf.linear(p_attn["proj"],
+                         band.astype(x.dtype).reshape(C, 1, D))
     return cls_res, x_new
 
 
@@ -260,7 +215,7 @@ def banded_block(p, cls, x, lo, eff: int, num_heads: int, block: int,
             p["temporal_norm1"], p["temporal_attn"], p["temporal_fc"],
             x, t_real, eff, num_heads)
         cls_res, x = _banded_spatial_fused(p["norm1"], p["attn"], cls, x,
-                                           lo, eff, num_heads, block)
+                                           t_real, eff, num_heads)
         cls = cls + cls_res
     else:
         x = _banded_temporal(p["temporal_norm1"], p["temporal_attn"],

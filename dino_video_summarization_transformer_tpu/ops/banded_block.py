@@ -172,8 +172,8 @@ def banded_temporal_attn(q: jnp.ndarray, kv: jnp.ndarray, t_real,
 
 
 def _spatial_pf_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
-                       wproj_ref, bproj_ref, go_ref, co_ref, *,
-                       num_heads: int):
+                       wproj_ref, bproj_ref, go_ref, co_ref, kv_ref,
+                       kvc_ref, qc_ref, *, num_heads: int):
     """Per-frame-CLS variant of fused_block._spatial_phase_kernel: the
     banded pass owns one CLS token PER FRAME, so cls arrives as (1, F, D)
     rows instead of one (1, 1, D) row broadcast over the F frames — which
@@ -223,12 +223,20 @@ def _spatial_pf_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     go_ref[0] = (x_ref[0] + proj[:, 1:, :].astype(x_ref.dtype)).astype(
         go_ref.dtype)
     co_ref[0] = proj[:, 0, :].astype(co_ref.dtype)
+    # export the patch K/V rows, the cls rows' own K/V, and the cls
+    # queries for the CLS window-aggregation kernel (cls_band_attn): one
+    # HBM write instead of recomputing 2/3 of the qkv matmul outside
+    kv_ref[0] = qkv[:, 1:, D:]
+    kvc_ref[0] = qkv[:, 0, D:]
+    qc_ref[0] = qkv[:, 0, :D]
 
 
 def spatial_phase_pf(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
                      num_heads: int, block_f: int = 4):
     """Per-frame-CLS spatial phase: x (C, N, D), cls (C, D) ->
-    (x + res (C, N, D), cls attention rows (C, D), both post-proj)."""
+    (x + res (C, N, D), cls attention rows (C, D) post-proj,
+    kv (C, N+1, 2D) bf16 — the LN+qkv K/V rows of [cls_i, patches_i],
+    consumed by cls_band_attn)."""
     C, N, D = x.shape
     F = min(block_f, C)
     while C % F:
@@ -251,14 +259,22 @@ def spatial_phase_pf(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
                           memory_space=pltpu.VMEM)
     full = lambda *shape: pl.BlockSpec(shape, lambda ci: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    grid_out, cls_rows = pl.pallas_call(
+    kv_spec = pl.BlockSpec((1, F, N, 2 * D), lambda ci: (ci, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    f_spec = lambda w: pl.BlockSpec((1, F, w), lambda ci: (ci, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    grid_out, cls_rows, kv, kv_c, q_cls = pl.pallas_call(
         functools.partial(_spatial_pf_kernel, num_heads=num_heads),
         out_shape=(jax.ShapeDtypeStruct((C // F, F, N, D), x.dtype),
-                   jax.ShapeDtypeStruct((C // F, F, D), x.dtype)),
+                   jax.ShapeDtypeStruct((C // F, F, D), x.dtype),
+                   jax.ShapeDtypeStruct((C // F, F, N, 2 * D),
+                                        jnp.bfloat16),
+                   jax.ShapeDtypeStruct((C // F, F, 2 * D), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((C // F, F, D), jnp.bfloat16)),
         grid=(C // F,),
         in_specs=[x_spec, c_spec, full(1, D), full(1, D), full(D, 3 * D),
                   full(1, 3 * D), full(D, D), full(1, D)],
-        out_specs=(x_spec, c_spec),
+        out_specs=(x_spec, c_spec, kv_spec, f_spec(2 * D), f_spec(D)),
         cost_estimate=pl.CostEstimate(
             flops=C * (N + 1) * (8 * D * D + 4 * (N + 1) * D),
             bytes_accessed=2 * C * N * D * x.dtype.itemsize,
@@ -267,7 +283,151 @@ def spatial_phase_pf(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
         interpret=_interpret(),
         compiler_params=_fwd_params(),
     )(x4, cls3, g, b, wqkv, bqkv, wproj, bproj)
-    return grid_out.reshape(C, N, D), cls_rows.reshape(C, D)
+    return (grid_out.reshape(C, N, D), cls_rows.reshape(C, D),
+            kv.reshape(C, N, 2 * D), kv_c.reshape(C, 2 * D),
+            q_cls.reshape(C, D))
+
+
+def _cls_band_kernel(t_ref, q_ref, kvo_ref, kvt_ref, o_ref, acc_ref, *,
+                     eff: int, num_heads: int, P: int, tf: int):
+    """CLS window aggregation: for each frame i, mean over t in win(i) of
+    softmax-attention(q=cls_i, keys=[cls_i, patches_t]) values.
+
+    Each (cb, tb) grid step processes ALL N patches of ``tf`` candidate
+    target frames, so every (i, t) pair's softmax denominator is complete
+    within the step (the per-t normalization cannot be split across
+    steps); normalized contributions accumulate in a (H, P, 128) VMEM
+    scratch and are emitted on the last tb step.
+
+    q (1, P, D): cls queries; kvo (1, P, 2D): the cls rows' own K/V (the
+    self key); kvt (1, tf, N, 2D): target frames' patch K/V;
+    o (1, P, D) pre-projection band outputs (already / eff)."""
+    _, _, N, twoD = kvt_ref.shape
+    D = twoD // 2
+    H = num_heads
+    hd = D // H
+
+    cb = pl.program_id(0)
+    tb = pl.program_id(1)
+    n_tb = pl.num_programs(1)
+    t_real = t_ref[0, 0]
+
+    @pl.when(tb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # absolute indices: queries cb*P + i; target frames of this step
+    # start at (cb-1)*P + tb*tf (fake/out-of-range values are masked)
+    qi = cb * P + jax.lax.broadcasted_iota(jnp.int32, (P, tf), 0)
+    tj = (cb - 1) * P + tb * tf + jax.lax.broadcasted_iota(
+        jnp.int32, (P, tf), 1)
+    lo = jnp.clip(qi - eff // 2, 0, jnp.maximum(t_real - eff, 0))
+    inband = ((tj >= lo) & (tj < lo + eff)).astype(jnp.float32)  # (P, tf)
+
+    kvt = kvt_ref[0].reshape(tf * N, twoD)  # contiguous; lane-slice after
+    q_all = q_ref[0]      # (P, D)
+    kvo = kvo_ref[0]      # (P, 2D)
+
+    for h in range(H):
+        qh = q_all[:, h * hd:(h + 1) * hd]
+        qh, post = _fold_scale(qh, hd)
+        kh = kvt[:, h * hd:(h + 1) * hd]
+        vh = kvt[:, D + h * hd:D + (h + 1) * hd]
+        ko = kvo[:, h * hd:(h + 1) * hd]
+        vo = kvo[:, D + h * hd:D + (h + 1) * hd]
+
+        s = _dot(qh, kh, (((1,), (1,)), ((), ())),
+                 preferred_element_type=jnp.float32)  # (P, tf*N)
+        s_self = jnp.sum(qh.astype(jnp.float32)
+                         * ko.astype(jnp.float32), axis=1, keepdims=True)
+        if post is not None:
+            s = s * post
+            s_self = s_self * post
+        e = jnp.exp(jnp.clip(s, -_CLAMP, _CLAMP))
+        e_self = jnp.exp(jnp.clip(s_self, -_CLAMP, _CLAMP))  # (P, 1)
+
+        # per-(i, t) denominator: e_self + sum_n e — frame-group sums via
+        # an MXU ones matmul (cross-lane reductions are the slow VPU path)
+        grp = (jax.lax.broadcasted_iota(jnp.int32, (tf * N, tf), 0) // N
+               == jax.lax.broadcasted_iota(jnp.int32, (tf * N, tf), 1)
+               ).astype(jnp.bfloat16)
+        den = e_self + _dot(e.astype(jnp.bfloat16), grp,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (P, tf)
+        w = inband / den  # (P, tf): 0 for out-of-band frames
+        # broadcast w to (P, tf*N) via the same group matrix (no lane-dim
+        # reshape — Mosaic rejects splitting the lane axis), then fold the
+        # per-t normalization into e so ONE PV matmul covers the window
+        w_full = _dot(w.astype(jnp.bfloat16), grp,
+                      (((1,), (1,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+        e_w = e * w_full
+        pv = _dot(e_w.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32)  # (P, hd)
+        self_w = (w.sum(axis=1, keepdims=True) * e_self)  # (P, 1)
+        contrib = pv + self_w * vo.astype(jnp.float32)
+        acc_ref[h, :, :hd] += contrib
+
+    @pl.when(tb == n_tb - 1)
+    def _emit():
+        outs = [acc_ref[h, :, :hd] * (1.0 / eff) for h in range(H)]
+        o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def cls_band_attn(q_cls: jnp.ndarray, kv_cls: jnp.ndarray,
+                  kv_pat: jnp.ndarray, t_real, eff: int, num_heads: int,
+                  block_p: int = 32, block_t: int = 4) -> jnp.ndarray:
+    """q_cls (C, D), kv_cls (C, 2D) (own cls K/V rows), kv_pat
+    (C, N, 2D): per-frame CLS window aggregation -> (C, D) pre-proj
+    outputs (averaged over each frame's clamp-shifted eff-window)."""
+    C, N, twoD = kv_pat.shape
+    D = twoD // 2
+    P = min(block_p, C)
+    while C % P:
+        P -= 1
+    assert P >= eff - 1, (P, eff)
+    tf = block_t
+    while P % tf:
+        tf -= 1
+    nbc = C // P
+    n_tb = 3 * P // tf
+
+    q3 = q_cls.astype(jnp.bfloat16).reshape(nbc, P, D)
+    kvo3 = kv_cls.astype(jnp.bfloat16).reshape(nbc, P, twoD)
+    kvt4 = kv_pat.astype(jnp.bfloat16).reshape(C // tf, tf, N, twoD)
+    t_arr = jnp.full((1, 1), t_real, jnp.int32)
+
+    def kvt_index(cb, tb):
+        fb = (cb - 1) * (P // tf) + tb
+        return (jnp.clip(fb, 0, C // tf - 1), 0, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_cls_band_kernel, eff=eff, num_heads=num_heads,
+                          P=P, tf=tf),
+        out_shape=jax.ShapeDtypeStruct((nbc, P, D), jnp.bfloat16),
+        grid=(nbc, n_tb),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda cb, tb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P, D), lambda cb, tb: (cb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, twoD), lambda cb, tb: (cb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tf, N, twoD), kvt_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, D), lambda cb, tb: (cb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((num_heads, P, 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=C * 3 * P * N * 4 * D,
+            bytes_accessed=3 * C * N * twoD,
+            transcendentals=C * 3 * P * N,
+        ),
+        interpret=_interpret(),
+        compiler_params=_fwd_params(),
+    )(t_arr, q3, kvo3, kvt4)
+    return out.reshape(C, D)
 
 
 def banded_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray, t_real,
