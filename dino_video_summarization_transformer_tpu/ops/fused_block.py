@@ -286,10 +286,11 @@ def fused_attn_phase(p_norm, p_attn, x: jnp.ndarray, num_heads: int,
 
 def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                           wproj_ref, bproj_ref, go_ref, co_ref, *,
-                          num_heads: int):
+                          num_heads: int, partial_out: bool = False):
     _, F, N, D = x_ref.shape
     H = num_heads
-    hd = D // H
+    Dq = wqkv_ref.shape[1] // 3  # head-sharded width under TP
+    hd = Dq // H
     assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
     L = N + 1
 
@@ -306,14 +307,14 @@ def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     qkv = _dot(
         y.reshape(F * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(F, L, 3 * D)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(F, L, 3 * Dq)
 
     ones = jnp.ones((F, L, 128 - hd), jnp.bfloat16)
     head_outs = []
     for h in range(H):
         q = qkv[:, :, h * hd:(h + 1) * hd]
-        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
-        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        k = qkv[:, :, Dq + h * hd:Dq + (h + 1) * hd]
+        v = qkv[:, :, 2 * Dq + h * hd:2 * Dq + (h + 1) * hd]
         q, post = _fold_scale(q, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
@@ -327,14 +328,19 @@ def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
             preferred_element_type=jnp.float32)
         head_outs.append(
             (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
-    a = jnp.concatenate(head_outs, axis=2).reshape(F * L, D)
+    a = jnp.concatenate(head_outs, axis=2).reshape(F * L, Dq)
 
     proj = _dot(
         a, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    proj = (proj + bproj_ref[0]).reshape(F, L, D)
-    go_ref[0] = (x_ref[0] + proj[:, 1:, :].astype(x_ref.dtype)).astype(
-        go_ref.dtype)
+    if not partial_out:
+        proj = proj + bproj_ref[0]
+    proj = proj.reshape(F, L, D)
+    if partial_out:
+        go_ref[0] = proj[:, 1:, :].astype(go_ref.dtype)
+    else:
+        go_ref[0] = (x_ref[0] + proj[:, 1:, :].astype(x_ref.dtype)).astype(
+            go_ref.dtype)
     co_ref[0, 0] = proj[:, 0, :].astype(co_ref.dtype)
 
 
@@ -348,7 +354,8 @@ def fused_spatial_phase(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
 
 def _fused_spatial_phase_impl(p_norm, p_attn, cls: jnp.ndarray,
                               x: jnp.ndarray, num_heads: int,
-                              block_f: int = 0):
+                              block_f: int = 0,
+                              partial_out: bool = False):
     """The divided block's complete spatial half over FRAME-MAJOR grid
     tokens, glue-free (ref semantics: models/timesformer.py:140-176 of the
     reference — CLS broadcast into every frame's sequence, per-frame MHSA,
@@ -371,9 +378,10 @@ def _fused_spatial_phase_impl(p_norm, p_attn, cls: jnp.ndarray,
     g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
     b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
     wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    Dq = wqkv.shape[1] // 3  # head-sharded width under TP
     bqkv = p_attn["qkv"].get("bias")
-    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
-        jnp.float32).reshape(1, 3 * D)
+    bqkv = (jnp.zeros((3 * Dq,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * Dq)
     wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
     bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
 
@@ -388,13 +396,15 @@ def _fused_spatial_phase_impl(p_norm, p_attn, cls: jnp.ndarray,
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, ti: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     grid_out, cls_rows = pl.pallas_call(
-        functools.partial(_spatial_phase_kernel, num_heads=num_heads),
+        functools.partial(_spatial_phase_kernel, num_heads=num_heads,
+                          partial_out=partial_out),
         out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
                    jax.ShapeDtypeStruct((B, T // block_f, block_f, D),
                                         x.dtype)),
         grid=(B, T // block_f),
-        in_specs=[x_spec, cls_spec, full(1, D), full(1, D), full(D, 3 * D),
-                  full(1, 3 * D), full(D, D), full(1, D)],
+        in_specs=[x_spec, cls_spec, full(1, D), full(1, D),
+                  full(D, 3 * Dq), full(1, 3 * Dq), full(Dq, D),
+                  full(1, D)],
         out_specs=(x_spec, co_spec),
         cost_estimate=pl.CostEstimate(
             flops=B * T * L * (8 * D * D + 4 * L * D),
@@ -415,10 +425,11 @@ def _spatial_phase_bwd_kernel(x_ref, cls_ref, dgo_ref, dco_ref, g_ref, b_ref,
                               wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                               dx_ref, dcls_ref, dg_ref, db_ref, dwqkv_ref,
                               dbqkv_ref, dwproj_ref, dbproj_ref, *,
-                              num_heads: int):
+                              num_heads: int, partial_out: bool = False):
     _, F, N, D = x_ref.shape
     H = num_heads
-    hd = D // H
+    Dq = wqkv_ref.shape[1] // 3  # head-sharded width under TP
+    hd = Dq // H
     scale = hd ** -0.5
     L = N + 1
 
@@ -447,13 +458,13 @@ def _spatial_phase_bwd_kernel(x_ref, cls_ref, dgo_ref, dco_ref, g_ref, b_ref,
     qkv = _dot(
         y.reshape(F * L, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(F, L, 3 * D)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(F, L, 3 * Dq)
 
     heads = []
     for h in range(H):
         q = qkv[:, :, h * hd:(h + 1) * hd]
-        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
-        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        k = qkv[:, :, Dq + h * hd:Dq + (h + 1) * hd]
+        v = qkv[:, :, 2 * Dq + h * hd:2 * Dq + (h + 1) * hd]
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
@@ -463,7 +474,7 @@ def _spatial_phase_bwd_kernel(x_ref, cls_ref, dgo_ref, dco_ref, g_ref, b_ref,
             pn, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         heads.append((q, k, v, s, pn, a_h))
-    a = jnp.concatenate([t[5] for t in heads], axis=2).reshape(F * L, D)
+    a = jnp.concatenate([t[5] for t in heads], axis=2).reshape(F * L, Dq)
 
     # ---- backward ----
     dproj = jnp.concatenate(
@@ -477,7 +488,7 @@ def _spatial_phase_bwd_kernel(x_ref, cls_ref, dgo_ref, dco_ref, g_ref, b_ref,
     da = _dot(
         dproj16, wproj_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    da = da.reshape(F, L, D)
+    da = da.reshape(F, L, Dq)
 
     dq_all, dk_all, dv_all = [], [], []
     for h in range(H):
@@ -501,7 +512,7 @@ def _spatial_phase_bwd_kernel(x_ref, cls_ref, dgo_ref, dco_ref, g_ref, b_ref,
             preferred_element_type=jnp.float32).astype(jnp.bfloat16))
         dv_all.append(dv_h.astype(jnp.bfloat16))
     dqkv = jnp.concatenate(dq_all + dk_all + dv_all, axis=2)
-    dqkv = dqkv.reshape(F * L, 3 * D)
+    dqkv = dqkv.reshape(F * L, 3 * Dq)
 
     dwqkv_ref[:] += _dot(
         y.reshape(F * L, D), dqkv, (((0,), (0,)), ((), ())),
@@ -517,8 +528,11 @@ def _spatial_phase_bwd_kernel(x_ref, cls_ref, dgo_ref, dco_ref, g_ref, b_ref,
     dxh = dy * g_ref[0]
     dseq = rstd * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
                    - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True))
-    dx_ref[0] = (dseq[:, 1:, :] + dgo_ref[0].astype(jnp.float32)).astype(
-        dx_ref.dtype)
+    if partial_out:  # no residual in the partial (TP-shard) forward
+        dx_ref[0] = dseq[:, 1:, :].astype(dx_ref.dtype)
+    else:
+        dx_ref[0] = (dseq[:, 1:, :]
+                     + dgo_ref[0].astype(jnp.float32)).astype(dx_ref.dtype)
     dcls_ref[0, 0] += jnp.sum(dseq[:, 0, :], axis=0).astype(dcls_ref.dtype)
 
 
@@ -734,7 +748,7 @@ def fused_temporal_phase(p_norm, p_attn, p_fc, x: jnp.ndarray,
 
 def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                               wproj_ref, bproj_ref, wfc_ref, bfc_ref, *rest,
-                              num_heads: int):
+                              num_heads: int, partial_out: bool = False):
     if len(rest) == 1:
         sqkv = sproj = sfc = None
         o_ref, = rest
@@ -743,7 +757,13 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         sqkv, sproj, sfc, o_ref = rest
     _, T, _, BN, D = x_ref.shape
     H = num_heads
-    hd = D // H
+    # qkv width from the WEIGHTS, not x: under tensor parallelism each
+    # shard runs this kernel with head-sharded qkv/proj (Dq = D/tp) on the
+    # full-width replicated activations (parallel/tp_fused.py);
+    # ``partial_out`` then emits fc(proj_nobias(attn)) without the
+    # residual — the caller psums shards and adds residual + biases once.
+    Dq = wqkv_ref.shape[1] // 3
+    hd = Dq // H
     assert hd < 128, (hd, "MXU-denominator softmax needs a ones column")
 
     x = x_ref[0, :, 0].astype(jnp.float32)  # (T, BN, D)
@@ -777,7 +797,7 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
             P = cand
             break
     PT = P * T
-    qkv = qkv.reshape(BN // P, PT, 3 * D)
+    qkv = qkv.reshape(BN // P, PT, 3 * Dq)
     if P > 1:
         seg_i = jax.lax.broadcasted_iota(jnp.int32, (PT, PT), 0) // T
         seg_j = jax.lax.broadcasted_iota(jnp.int32, (PT, PT), 1) // T
@@ -787,8 +807,8 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     head_outs = []
     for h in range(H):
         q = qkv[:, :, h * hd:(h + 1) * hd]
-        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
-        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        k = qkv[:, :, Dq + h * hd:Dq + (h + 1) * hd]
+        v = qkv[:, :, 2 * Dq + h * hd:2 * Dq + (h + 1) * hd]
         q, post = _fold_scale(q, hd)
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
@@ -804,14 +824,20 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
             preferred_element_type=jnp.float32)
         head_outs.append(
             (acc[:, :, :hd] * (1.0 / acc[:, :, -1:])).astype(jnp.bfloat16))
-    a = jnp.concatenate(head_outs, axis=2).reshape(BN * T, D)
+    a = jnp.concatenate(head_outs, axis=2).reshape(BN * T, Dq)
 
     proj = _dense_rows(a, wproj_ref, sproj)
-    proj = (proj + bproj_ref[0]).astype(jnp.bfloat16)
+    if not partial_out:
+        proj = proj + bproj_ref[0]
+    proj = proj.astype(jnp.bfloat16)
     fc = _dense_rows(proj, wfc_ref, sfc)
-    fc = (fc + bfc_ref[0]).reshape(BN, T, D)
+    if not partial_out:
+        fc = fc + bfc_ref[0]
+    fc = fc.reshape(BN, T, D)
     fc = jnp.swapaxes(fc, 0, 1)  # back to frame-major (T, BN, D)
-    if jnp.dtype(o_ref.dtype).itemsize >= 4:
+    if partial_out:
+        o_ref[0, :, 0] = fc.astype(o_ref.dtype)
+    elif jnp.dtype(o_ref.dtype).itemsize >= 4:
         # f32 carry out (the wb path): residual add in f32, no rounding
         o_ref[0, :, 0] = x_ref[0, :, 0].astype(jnp.float32) + fc
     else:
@@ -835,7 +861,8 @@ def fused_temporal_phase_tm(p_norm, p_attn, p_fc, x: jnp.ndarray,
 def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
                                   num_heads: int,
                                   block_n: int = 0,
-                                  out_dtype=None) -> jnp.ndarray:
+                                  out_dtype=None,
+                                  partial_out: bool = False) -> jnp.ndarray:
     B, T, N, D = x.shape
     out_dtype = x.dtype if out_dtype is None else out_dtype
     if not block_n:
@@ -878,9 +905,10 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
         wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
         wfc = p_fc["kernel"].astype(jnp.bfloat16)
         scales = []
+    Dq = wqkv.shape[1] // 3  # < D under tensor parallelism (head shards)
     bqkv = p_attn["qkv"].get("bias")
-    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
-        jnp.float32).reshape(1, 3 * D)
+    bqkv = (jnp.zeros((3 * Dq,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * Dq)
     bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
     bfc = p_fc["bias"].astype(jnp.float32).reshape(1, D)
 
@@ -890,12 +918,13 @@ def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,
     full = lambda *shape: pl.BlockSpec(shape, lambda bi, ni: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_temporal_phase_tm_kernel, num_heads=num_heads),
+        functools.partial(_temporal_phase_tm_kernel, num_heads=num_heads,
+                          partial_out=partial_out),
         out_shape=jax.ShapeDtypeStruct((B, T, nb, block_n, D), out_dtype),
         grid=(B, nb),
-        in_specs=[x_spec, full(1, D), full(1, D), full(D, 3 * D),
-                  full(1, 3 * D), full(D, D), full(1, D), full(D, D),
-                  full(1, D)]
+        in_specs=[x_spec, full(1, D), full(1, D), full(*wqkv.shape),
+                  full(1, 3 * Dq), full(*wproj.shape), full(1, D),
+                  full(D, D), full(1, D)]
                  + [full(*s.shape) for s in scales],
         out_specs=x_spec,
         cost_estimate=pl.CostEstimate(
@@ -917,10 +946,12 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
                                   bqkv_ref, wproj_ref, bproj_ref, wfc_ref,
                                   bfc_ref, dx_ref, dg_ref, db_ref, dwqkv_ref,
                                   dbqkv_ref, dwproj_ref, dbproj_ref, dwfc_ref,
-                                  dbfc_ref, *, num_heads: int):
+                                  dbfc_ref, *, num_heads: int,
+                                  partial_out: bool = False):
     _, T, _, BN, D = x_ref.shape
     H = num_heads
-    hd = D // H
+    Dq = wqkv_ref.shape[1] // 3  # head-sharded width under TP
+    hd = Dq // H
     scale = hd ** -0.5
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -942,7 +973,7 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
     qkv = _dot(
         yt.reshape(BN * T, D), wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BN, T, 3 * D)
+    qkv = (qkv + bqkv_ref[0]).astype(jnp.bfloat16).reshape(BN, T, 3 * Dq)
 
     # NOTE: the forward kernel's block-diagonal position packing is NOT
     # mirrored here — this backward retains every head's (s, pn) for the
@@ -954,8 +985,8 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
     heads = []
     for h in range(H):
         q = qkv[:, :, h * hd:(h + 1) * hd]
-        k = qkv[:, :, D + h * hd:D + (h + 1) * hd]
-        v = qkv[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        k = qkv[:, :, Dq + h * hd:Dq + (h + 1) * hd]
+        v = qkv[:, :, 2 * Dq + h * hd:2 * Dq + (h + 1) * hd]
         s = _dot(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
@@ -966,11 +997,13 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
             heads[h][4], v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         heads[h] = heads[h] + (a_h,)
-    a = jnp.concatenate([t[5] for t in heads], axis=2).reshape(BN * T, D)
+    a = jnp.concatenate([t[5] for t in heads], axis=2).reshape(BN * T, Dq)
     proj = _dot(
         a, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    proj = (proj + bproj_ref[0]).astype(jnp.bfloat16)
+    if not partial_out:
+        proj = proj + bproj_ref[0]
+    proj = proj.astype(jnp.bfloat16)
 
     # ---- backward ----
     dout = do_ref[0, :, 0].astype(jnp.float32)  # (T, BN, D)
@@ -1014,8 +1047,8 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
             ds, q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(jnp.bfloat16))
         dv_all.append(dv_h.astype(jnp.bfloat16))
-    dqkv = jnp.concatenate(dq_all + dk_all + dv_all, axis=2)  # (BN, T, 3D)
-    dqkv = dqkv.reshape(BN * T, 3 * D)
+    dqkv = jnp.concatenate(dq_all + dk_all + dv_all, axis=2)  # (BN, T, 3Dq)
+    dqkv = dqkv.reshape(BN * T, 3 * Dq)
 
     dwqkv_ref[:] += _dot(
         yt.reshape(BN * T, D), dqkv, (((0,), (0,)), ((), ())),
@@ -1032,11 +1065,14 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
     dxh = dy * g_ref[0]
     dx = rstd * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
                  - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True))
-    dx_ref[0, :, 0] = (dx + dout).astype(dx_ref.dtype)
+    if partial_out:  # no residual in the partial (TP-shard) forward
+        dx_ref[0, :, 0] = dx.astype(dx_ref.dtype)
+    else:
+        dx_ref[0, :, 0] = (dx + dout).astype(dx_ref.dtype)
 
 
 def _temporal_phase_tm_bwd(p_norm, p_attn, p_fc, x, do, num_heads: int,
-                           block_n: int = 0):
+                           block_n: int = 0, partial_out: bool = False):
     B, T, N, D = x.shape
     if not block_n:
         # tighter than the forward's 512-row budget: the backward holds
@@ -1051,9 +1087,10 @@ def _temporal_phase_tm_bwd(p_norm, p_attn, p_fc, x, do, num_heads: int,
     g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
     b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
     wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    Dq = wqkv.shape[1] // 3  # head-sharded width under TP
     bqkv = p_attn["qkv"].get("bias")
-    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
-        jnp.float32).reshape(1, 3 * D)
+    bqkv = (jnp.zeros((3 * Dq,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * Dq)
     wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
     bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
     wfc = p_fc["kernel"].astype(jnp.bfloat16)
@@ -1066,22 +1103,23 @@ def _temporal_phase_tm_bwd(p_norm, p_attn, p_fc, x, do, num_heads: int,
                                        memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_temporal_phase_tm_bwd_kernel, num_heads=num_heads),
+        functools.partial(_temporal_phase_tm_bwd_kernel, num_heads=num_heads,
+                          partial_out=partial_out),
         out_shape=(jax.ShapeDtypeStruct((B, T, nb, block_n, D), x.dtype),
                    jax.ShapeDtypeStruct((1, D), f32),
                    jax.ShapeDtypeStruct((1, D), f32),
-                   jax.ShapeDtypeStruct((D, 3 * D), f32),
-                   jax.ShapeDtypeStruct((1, 3 * D), f32),
-                   jax.ShapeDtypeStruct((D, D), f32),
+                   jax.ShapeDtypeStruct((D, 3 * Dq), f32),
+                   jax.ShapeDtypeStruct((1, 3 * Dq), f32),
+                   jax.ShapeDtypeStruct((Dq, D), f32),
                    jax.ShapeDtypeStruct((1, D), f32),
                    jax.ShapeDtypeStruct((D, D), f32),
                    jax.ShapeDtypeStruct((1, D), f32)),
         grid=(B, nb),
-        in_specs=[x_spec, x_spec, full(1, D), full(1, D), full(D, 3 * D),
-                  full(1, 3 * D), full(D, D), full(1, D), full(D, D),
+        in_specs=[x_spec, x_spec, full(1, D), full(1, D), full(D, 3 * Dq),
+                  full(1, 3 * Dq), full(Dq, D), full(1, D), full(D, D),
                   full(1, D)],
-        out_specs=(x_spec, full(1, D), full(1, D), full(D, 3 * D),
-                   full(1, 3 * D), full(D, D), full(1, D), full(D, D),
+        out_specs=(x_spec, full(1, D), full(1, D), full(D, 3 * Dq),
+                   full(1, 3 * Dq), full(Dq, D), full(1, D), full(D, D),
                    full(1, D)),
         cost_estimate=pl.CostEstimate(
             flops=3 * B * N * T * (10 * D * D + 4 * T * D),
@@ -1097,17 +1135,19 @@ def _temporal_phase_tm_bwd(p_norm, p_attn, p_fc, x, do, num_heads: int,
     d_attn = {"qkv": {"kernel": dwqkv},
               "proj": {"kernel": dwproj, "bias": dbproj.reshape(D)}}
     if "bias" in p_attn["qkv"]:
-        d_attn["qkv"]["bias"] = dbqkv.reshape(3 * D)
+        d_attn["qkv"]["bias"] = dbqkv.reshape(3 * Dq)
     d_fc = {"kernel": dwfc, "bias": dbfc.reshape(D)}
     return d_norm, d_attn, d_fc, dx.reshape(B, T, N, D)
 
 
 @functools.lru_cache(maxsize=None)
-def _temporal_phase_tm_vjp(num_heads: int, block_n: int):
+def _temporal_phase_tm_vjp(num_heads: int, block_n: int,
+                           partial_out: bool = False):
     @jax.custom_vjp
     def f(p_norm, p_attn, p_fc, x):
         return _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x,
-                                             num_heads, block_n)
+                                             num_heads, block_n,
+                                             partial_out=partial_out)
 
     def f_fwd(p_norm, p_attn, p_fc, x):
         return f(p_norm, p_attn, p_fc, x), (p_norm, p_attn, p_fc, x)
@@ -1115,7 +1155,8 @@ def _temporal_phase_tm_vjp(num_heads: int, block_n: int):
     def f_bwd(res, do):
         p_norm, p_attn, p_fc, x = res
         d_norm, d_attn, d_fc, dx = _temporal_phase_tm_bwd(
-            p_norm, p_attn, p_fc, x, do, num_heads)
+            p_norm, p_attn, p_fc, x, do, num_heads,
+            partial_out=partial_out)
         cast = lambda t, like: jax.tree.map(
             lambda a, b: a.astype(b.dtype), t, like)
         return (cast(d_norm, p_norm), cast(d_attn, p_attn),

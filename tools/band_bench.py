@@ -26,6 +26,9 @@ def main():
     p.add_argument("--dispatches", type=int, default=8)
     p.add_argument("--teacher_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--xla", action="store_true",
+                   help="force the XLA banded path (default: the fused "
+                        "Pallas kernels, as the scorer dispatches on TPU)")
     p.add_argument("--profile", default="")
     args = p.parse_args()
 
@@ -42,8 +45,12 @@ def main():
     from dino_video_summarization_transformer_tpu.utils.flops import (
         banded_pass_flops)
 
+    import dataclasses
+
     cfg = vit_base_config(num_frames=8, num_classes=0)
     params = init_timesformer(jax.random.key(0), cfg)
+    if not args.xla:
+        cfg = dataclasses.replace(cfg, use_fused=True)
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     t_dtype = jnp.dtype(args.teacher_dtype)
     t_params = (params if t_dtype == jnp.float32 else params_bf16)
