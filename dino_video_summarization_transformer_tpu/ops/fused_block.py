@@ -345,11 +345,17 @@ def _spatial_phase_kernel(x_ref, cls_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
 
 
 def fused_spatial_phase(p_norm, p_attn, cls: jnp.ndarray, x: jnp.ndarray,
-                        num_heads: int, block_f: int = 0):
+                        num_heads: int, block_f: int = 0,
+                        partial_out: bool = False):
     """Differentiable wrapper of the fused spatial phase (see impl below);
     backward is a recompute-in-kernel Pallas kernel, so the training step
-    runs the same glue-free block as inference (VERDICT r2 next-#3)."""
-    return _spatial_phase_vjp(num_heads, block_f)(p_norm, p_attn, cls, x)
+    runs the same glue-free block as inference (VERDICT r2 next-#3).
+
+    ``partial_out``: the tensor-parallel shard mode — head-sharded
+    qkv/proj weights, outputs are the UNREDUCED proj partials without
+    residual or proj bias (parallel/tp_fused.py psums and finishes)."""
+    return _spatial_phase_vjp(num_heads, block_f, partial_out)(
+        p_norm, p_attn, cls, x)
 
 
 def _fused_spatial_phase_impl(p_norm, p_attn, cls: jnp.ndarray,
@@ -537,7 +543,7 @@ def _spatial_phase_bwd_kernel(x_ref, cls_ref, dgo_ref, dco_ref, g_ref, b_ref,
 
 
 def _spatial_phase_bwd(p_norm, p_attn, cls, x, dgo, dco, num_heads: int,
-                       block_f: int = 0):
+                       block_f: int = 0, partial_out: bool = False):
     B, T, N, D = x.shape
     L = N + 1
     if not block_f:
@@ -551,9 +557,10 @@ def _spatial_phase_bwd(p_norm, p_attn, cls, x, dgo, dco, num_heads: int,
     g = p_norm["scale"].astype(jnp.float32).reshape(1, D)
     b = p_norm["bias"].astype(jnp.float32).reshape(1, D)
     wqkv = p_attn["qkv"]["kernel"].astype(jnp.bfloat16)
+    Dq = wqkv.shape[1] // 3  # head-sharded width under TP
     bqkv = p_attn["qkv"].get("bias")
-    bqkv = (jnp.zeros((3 * D,)) if bqkv is None else bqkv).astype(
-        jnp.float32).reshape(1, 3 * D)
+    bqkv = (jnp.zeros((3 * Dq,)) if bqkv is None else bqkv).astype(
+        jnp.float32).reshape(1, 3 * Dq)
     wproj = p_attn["proj"]["kernel"].astype(jnp.bfloat16)
     bproj = p_attn["proj"]["bias"].astype(jnp.float32).reshape(1, D)
 
@@ -567,20 +574,23 @@ def _spatial_phase_bwd(p_norm, p_attn, cls, x, dgo, dco, num_heads: int,
                                        memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_spatial_phase_bwd_kernel, num_heads=num_heads),
+        functools.partial(_spatial_phase_bwd_kernel, num_heads=num_heads,
+                          partial_out=partial_out),
         out_shape=(jax.ShapeDtypeStruct((B, T, N, D), x.dtype),
                    jax.ShapeDtypeStruct((B, 1, D), f32),
                    jax.ShapeDtypeStruct((1, D), f32),
                    jax.ShapeDtypeStruct((1, D), f32),
-                   jax.ShapeDtypeStruct((D, 3 * D), f32),
-                   jax.ShapeDtypeStruct((1, 3 * D), f32),
-                   jax.ShapeDtypeStruct((D, D), f32),
+                   jax.ShapeDtypeStruct((D, 3 * Dq), f32),
+                   jax.ShapeDtypeStruct((1, 3 * Dq), f32),
+                   jax.ShapeDtypeStruct((Dq, D), f32),
                    jax.ShapeDtypeStruct((1, D), f32)),
         grid=(B, tb),
         in_specs=[x_spec, cls_spec, x_spec, co_spec, full(1, D), full(1, D),
-                  full(D, 3 * D), full(1, 3 * D), full(D, D), full(1, D)],
-        out_specs=(x_spec, cls_spec, full(1, D), full(1, D), full(D, 3 * D),
-                   full(1, 3 * D), full(D, D), full(1, D)),
+                  full(D, 3 * Dq), full(1, 3 * Dq), full(Dq, D),
+                  full(1, D)],
+        out_specs=(x_spec, cls_spec, full(1, D), full(1, D),
+                   full(D, 3 * Dq), full(1, 3 * Dq), full(Dq, D),
+                   full(1, D)),
         cost_estimate=pl.CostEstimate(
             flops=3 * B * T * L * (8 * D * D + 4 * L * D),
             bytes_accessed=3 * B * T * N * D * x.dtype.itemsize,
@@ -595,16 +605,17 @@ def _spatial_phase_bwd(p_norm, p_attn, cls, x, dgo, dco, num_heads: int,
     d_attn = {"qkv": {"kernel": dwqkv},
               "proj": {"kernel": dwproj, "bias": dbproj.reshape(D)}}
     if "bias" in p_attn["qkv"]:
-        d_attn["qkv"]["bias"] = dbqkv.reshape(3 * D)
+        d_attn["qkv"]["bias"] = dbqkv.reshape(3 * Dq)
     return d_norm, d_attn, dcls, dx
 
 
 @functools.lru_cache(maxsize=None)
-def _spatial_phase_vjp(num_heads: int, block_f: int):
+def _spatial_phase_vjp(num_heads: int, block_f: int,
+                       partial_out: bool = False):
     @jax.custom_vjp
     def f(p_norm, p_attn, cls, x):
         return _fused_spatial_phase_impl(p_norm, p_attn, cls, x, num_heads,
-                                         block_f)
+                                         block_f, partial_out=partial_out)
 
     def f_fwd(p_norm, p_attn, cls, x):
         return f(p_norm, p_attn, cls, x), (p_norm, p_attn, cls, x)
@@ -613,7 +624,8 @@ def _spatial_phase_vjp(num_heads: int, block_f: int):
         p_norm, p_attn, cls, x = res
         dgo, dco = cots
         d_norm, d_attn, dcls, dx = _spatial_phase_bwd(
-            p_norm, p_attn, cls, x, dgo, dco, num_heads)
+            p_norm, p_attn, cls, x, dgo, dco, num_heads,
+            partial_out=partial_out)
         cast = lambda t, like: jax.tree.map(
             lambda a, b: a.astype(b.dtype), t, like)
         return (cast(d_norm, p_norm), cast(d_attn, p_attn),
@@ -846,7 +858,8 @@ def _temporal_phase_tm_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
 
 
 def fused_temporal_phase_tm(p_norm, p_attn, p_fc, x: jnp.ndarray,
-                            num_heads: int, block_n: int = 0) -> jnp.ndarray:
+                            num_heads: int, block_n: int = 0,
+                            partial_out: bool = False) -> jnp.ndarray:
     """Temporal half of the divided block over FRAME-MAJOR grid tokens:
     x (B, T, N, D) -> x + temporal_fc(MHSA_over_T(LN(x))), values equal to
     fused_temporal_phase on the transposed layout. The position-major view
@@ -854,8 +867,13 @@ def fused_temporal_phase_tm(p_norm, p_attn, p_fc, x: jnp.ndarray,
     HBM layout for the entire block stack (VERDICT r2 next-#1).
 
     Differentiable via a recompute-in-kernel backward Pallas kernel
-    (VERDICT r2 next-#3): the training step runs this same fused phase."""
-    return _temporal_phase_tm_vjp(num_heads, block_n)(p_norm, p_attn, p_fc, x)
+    (VERDICT r2 next-#3): the training step runs this same fused phase.
+
+    ``partial_out``: tensor-parallel shard mode — head-sharded qkv/proj,
+    output is fc(proj_nobias(attn)) with NO residual (the caller psums
+    shards and adds residual + combined bias once; parallel/tp_fused.py)."""
+    return _temporal_phase_tm_vjp(num_heads, block_n, partial_out)(
+        p_norm, p_attn, p_fc, x)
 
 
 def _fused_temporal_phase_tm_impl(p_norm, p_attn, p_fc, x: jnp.ndarray,

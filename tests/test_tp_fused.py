@@ -1,0 +1,88 @@
+"""Head-sharded fused kernels under TP (parallel/tp_fused.py) vs the
+single-device fused forward: value and gradient equivalence on the
+virtual CPU mesh (interpret-mode kernels inside shard_map)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dino_video_summarization_transformer_tpu.models import timesformer as tsf
+from dino_video_summarization_transformer_tpu.parallel import build_mesh
+from dino_video_summarization_transformer_tpu.parallel.tp import (
+    tp_sharding_tree)
+from dino_video_summarization_transformer_tpu.parallel.tp_fused import (
+    permute_qkv_tree, qkv_head_perm, tp_fused_forward_features,
+    unpermute_qkv_tree)
+
+pytestmark = pytest.mark.kernels
+
+
+def _setup(depth=2):
+    cfg = tsf.TimeSformerConfig(
+        embed_dim=256, depth=depth, num_heads=4, img_size=32, num_frames=4,
+        num_classes=0, drop_path_rate=0.0)
+    params = tsf.init_timesformer(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(4, 3, 4, 32, 32), jnp.float32)
+    return cfg, params, x
+
+
+def test_qkv_perm_roundtrip():
+    D, H, tp = 256, 4, 2
+    perm = qkv_head_perm(D, H, tp)
+    assert sorted(perm) == list(range(3 * D))
+    cfg, params, _ = _setup()
+    p2 = unpermute_qkv_tree(permute_qkv_tree(params, H, tp), H, tp)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_fused_forward_matches_single_device_fused():
+    cfg, params, x = _setup()
+    fused_cfg = dataclasses.replace(cfg, use_fused=True)
+    ref = np.asarray(tsf.forward_features(params, x, fused_cfg))
+
+    mesh = build_mesh(data=4, model=2)
+    pp = permute_qkv_tree(params, cfg.num_heads, 2)
+    pp = jax.device_put(pp, tp_sharding_tree(pp, mesh))
+    got = np.asarray(tp_fused_forward_features(
+        pp, x, cfg, mesh, compute_dtype=jnp.float32))
+    # per-shard partials round to bf16 before the psum (the unsharded
+    # kernel rounds once, after the full-width proj) — a few bf16 ulps
+    # of legitimate difference per block
+    err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 8e-3, err
+
+
+def test_tp_fused_grads_match_single_device_fused():
+    cfg, params, x = _setup()
+    fused_cfg = dataclasses.replace(cfg, use_fused=True)
+
+    def loss_ref(p):
+        return jnp.sum(tsf.forward_features(p, x, fused_cfg) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+
+    mesh = build_mesh(data=4, model=2)
+
+    def loss_tp(p):
+        return jnp.sum(tp_fused_forward_features(
+            p, x, cfg, mesh, compute_dtype=jnp.float32) ** 2)
+
+    pp = permute_qkv_tree(params, cfg.num_heads, 2)
+    pp = jax.device_put(pp, tp_sharding_tree(pp, mesh))
+    g_tp = unpermute_qkv_tree(jax.grad(loss_tp)(pp), cfg.num_heads, 2)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_tp = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_tp)}
+    for k, a in flat_ref:
+        b = flat_tp[jax.tree_util.keystr(k)]
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = np.abs(a).max() + 1e-6
+        err = np.abs(a - b).max() / scale
+        assert err < 5e-3, (jax.tree_util.keystr(k), err)
