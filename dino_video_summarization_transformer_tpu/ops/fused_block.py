@@ -1042,7 +1042,7 @@ def _temporal_phase_tm_bwd_kernel(x_ref, do_ref, g_ref, b_ref, wqkv_ref,
     da = _dot(
         dproj, wproj_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    da = da.reshape(BN, T, D)
+    da = da.reshape(BN, T, Dq)
 
     dq_all, dk_all, dv_all = [], [], []
     for h in range(H):
