@@ -88,3 +88,51 @@ def test_tp_fused_grads_match_single_device_fused():
         # bf16 partial-rounding differences (see the forward test) roughly
         # double through the recompute-in-kernel backward
         assert err < 2e-2, (jax.tree_util.keystr(k), err)
+
+
+def test_tp_fused_train_step_runs_and_matches():
+    """One DINO train step with the TP-fused backbone on a dp x tp mesh:
+    loss matches the plain (XLA, replicated) step to kernel tolerance."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dino_video_summarization_transformer_tpu.parallel import replicated
+    from dino_video_summarization_transformer_tpu.parallel.tp import (
+        shard_state)
+    from dino_video_summarization_transformer_tpu.train.ssl import (
+        init_train_state, make_train_step)
+
+    cfg = tsf.TimeSformerConfig(
+        embed_dim=256, depth=2, num_heads=4, img_size=32, num_frames=2,
+        num_classes=0, drop_path_rate=0.0)
+    state, core, mask = init_train_state(
+        jax.random.key(0), cfg, out_dim=128, optimizer="adamw")
+    mesh = build_mesh(data=4, model=2)
+
+    rng = np.random.RandomState(0)
+    B = 4
+    g = jnp.asarray(rng.randn(2 * B, 3, 2, 32, 32), jnp.float32)
+    l = jnp.asarray(rng.randn(2 * B, 3, 2, 32, 32), jnp.float32)
+
+    plain = make_train_step(cfg, core, mask, n_local_crops=2, mesh=mesh,
+                            donate=False)
+    st0 = jax.device_put(state, replicated(mesh))
+    _, m_p = plain(st0, g, l, 1e-4, 1e-4, 0.996, 0.04, True)
+
+    st_tp = state._replace(
+        student=permute_qkv_tree(state.student, cfg.num_heads, 2),
+        teacher=permute_qkv_tree(state.teacher, cfg.num_heads, 2))
+    sharding = tp_sharding_tree(st_tp, mesh)
+    st_tp = jax.device_put(st_tp, sharding)
+    fwd = partial(tp_fused_forward_features, cfg=cfg, mesh=mesh,
+                  compute_dtype=jnp.float32)
+    step = make_train_step(cfg, core, mask, n_local_crops=2, mesh=mesh,
+                           donate=False, state_sharding=sharding,
+                           backbone_forward=fwd)
+    dsh = NamedSharding(mesh, P("data"))
+    st1, m_t = step(st_tp, jax.device_put(g, dsh), jax.device_put(l, dsh),
+                    1e-4, 1e-4, 0.996, 0.04, True)
+    assert np.isfinite(float(m_t["loss"]))
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_t["loss"]),
+                               rtol=2e-3)

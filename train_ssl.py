@@ -305,12 +305,17 @@ def train_svt(args):
     # fused kernels run per-device full-width — tensor/pipeline/sequence
     # parallelism are XLA-path features (parallel/*.py docstrings)
     fuse = should_fuse(compute_dtype) and group == 1
-    if should_fuse(compute_dtype) and group > 1:
-        print("WARNING: --model_parallel/--pipeline/--seq_parallel force "
-              "the XLA block path — the fused Pallas kernels (the ~2x "
-              "train-step MFU tier, BENCH.md) run per-device full-width "
-              "only. Expect roughly half the single-chip step MFU per "
-              "device; use plain DP when the model fits one chip.",
+    # r5: --model_parallel now runs the fused kernels on HEAD SHARDS
+    # (parallel/tp_fused.py) — the r4 "TP forces XLA" cliff is closed for
+    # TP; pipeline/sequence parallelism remain XLA-path features.
+    fuse_tp = (should_fuse(compute_dtype) and args.model_parallel > 1
+               and mcfg.num_heads % args.model_parallel == 0
+               and not two_token and not (two_stream or rand_fr))
+    if should_fuse(compute_dtype) and group > 1 and not fuse_tp:
+        print("WARNING: --pipeline/--seq_parallel (and --model_parallel "
+              "sizes that do not divide the head count) force the XLA "
+              "block path — the fused Pallas kernels (the ~2x train-step "
+              "MFU tier, BENCH.md) run full-width or head-sharded only.",
               flush=True)
     if fuse and pretrained_backbone is not None:
         # converted real checkpoints must clear the fused kernels'
@@ -404,6 +409,25 @@ def train_svt(args):
             "--zero1 and --model_parallel are exclusive (the TP tree "
             "already shards the moments over the model axis)")
         if args.model_parallel > 1:
+            if fuse_tp:
+                # head-sharded fused kernels: the qkv columns move to the
+                # shard-major layout once (optimizer moments are zeros at
+                # init — permutation-invariant; Orbax checkpoints carry
+                # the permuted layout, unpermute_qkv_tree for export)
+                from dino_video_summarization_transformer_tpu.parallel.\
+                    tp_fused import (permute_qkv_tree,
+                                     tp_fused_forward_features)
+
+                state = state._replace(
+                    student=permute_qkv_tree(
+                        state.student, mcfg.num_heads, args.model_parallel),
+                    teacher=permute_qkv_tree(
+                        state.teacher, mcfg.num_heads, args.model_parallel))
+                backbone_forward = partial(
+                    tp_fused_forward_features, cfg=mcfg, mesh=mesh,
+                    compute_dtype=compute_dtype)
+                print(f"TP x{args.model_parallel}: head-sharded fused "
+                      "kernels (parallel/tp_fused.py)", flush=True)
             state_sharding = tp_sharding_tree(state, mesh)
             state = shard_state(state, mesh)
         elif args.zero1:
