@@ -9,7 +9,22 @@ Modes (quality table in BENCH.md, measured by tools/validate_fast_scoring.py):
   exact:     bfloat16, reference window geometry (teacher T=30) — same
              scores as the reference up to bf16 noise (~3-6% relative).
   exact-f32: float32 + HIGHEST matmuls — bit-parity numerics (~1e-5).
-  turbo2e-mt (default headline): teacher stride 8 + Catmull-Rom CLS
+  band-mt (default headline, r5): BANDED one-pass scoring — each frame
+             is processed ONCE per pass instead of once per overlapping
+             window (models/banded.py; temporal attention masked to the
+             frame's clamp-shifted window, per-frame CLS aggregating over
+             its window), bf16 banded students + f32 (mixed) banded
+             teacher through the banded Pallas kernels
+             (ops/banded_block.py). ~0.10 TFLOP/frame vs turbo2e-mt's
+             0.33 — the only roofline-consistent route to 1000 f/s.
+             Validator (eval_logs/band_validation.json): worst-over-
+             configs composite 3.11% — better than the r4 default's
+             worst case (3.31%) measured same-run — below the bf16 floor
+             on tiny@32 AND the production arch.
+  band-t-mt: the conservative banded opt-in — EXACT windowed per-frame
+             students, banded teacher only (~0.19 TFLOP/frame); below
+             the bf16 floor on ALL FOUR validator configs.
+  turbo2e-mt (r4 default): teacher stride 8 + Catmull-Rom CLS
              interpolation, f32 teacher, PLUS error-adaptive refinement —
              knots whose measured feature-space LOO interpolation error
              exceeds alpha=0.035 get their intervals bisected (stride
@@ -277,7 +292,7 @@ def _e2e_inner(scorer, d, n_videos, raw_frames, rate, num_frames):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", default="turbo2e-mt", choices=sorted(MODES))
+    p.add_argument("--mode", default="band-mt", choices=sorted(MODES))
     p.add_argument("--frames", type=int, default=480)
     p.add_argument("--chunk", type=int, default=0, help="0 = auto")
     p.add_argument("--wire", default="yuv420",
