@@ -893,17 +893,22 @@ class FrameScorer:
                 np.minimum(w0 + np.arange(Cb), w1 - 1) - i0 * P)
             t_real = jnp.asarray(Lw, jnp.int32)
             pair = (self.params, self.t_params)
+            from ..ops.banded_block import banded_ok
+
+            fused = bool(cfg.use_fused) and banded_ok(cfg.embed_dim,
+                                                      cfg.num_heads)
             t_fn = self._get_band("teacher", Cb, eff_global)
             t_rows = t_fn(pair, span, idx, t_real)
             self.stats["band_teacher_frames"] += Cb
             self.stats["band_flops"] += flops_mod.banded_pass_flops(
-                cfg, Cb, eff_global, self.config.band_block)
+                cfg, Cb, eff_global, self.config.band_block, fused=fused)
             if mode == "both":
                 s_fn = self._get_band("student", Cb, self.local_size)
                 s_rows = s_fn(pair, span, idx, t_real)
                 self.stats["band_student_frames"] += Cb
                 self.stats["band_flops"] += flops_mod.banded_pass_flops(
-                    cfg, Cb, self.local_size, self.config.band_block)
+                    cfg, Cb, self.local_size, self.config.band_block,
+                    fused=fused)
                 losses = loss_fn(s_rows, t_rows)
                 outs.append((losses[e0 - w0:e1 - w0], e1 - e0))
             else:

@@ -106,6 +106,7 @@ def banded_pass_flops(
     n_frames: int,
     eff: int,
     block: int = 32,
+    fused: bool = False,
 ) -> float:
     """FLOPs of ONE banded pass (models/banded.py) over an ``n_frames``
     chunk with window/band length ``eff``.
@@ -124,7 +125,9 @@ def banded_pass_flops(
     P = min(block, C)
     while C % P:
         P -= 1
-    S = min(C, P + 2 * (eff - 1))
+    # XLA path slab: P + 2*(eff-1) keys; the Pallas kernels load a fixed
+    # prev/cur/next 3-block slab (ops/banded_block.py) — count what runs
+    S = min(C, 3 * P if fused else P + 2 * (eff - 1))
 
     per_frame = 2.0 * N * patch_in * D  # patch embed
     per_block = 0.0
