@@ -76,21 +76,36 @@ def main():
     variants = [
         ("xla-remat", cfg, B, True),
         ("fused", fused, B, False),
+        # graceful degradation (r5): the un-rematerialized fused step's
+        # saved phase inputs exceed HBM at B>=4 (measured: 16.57G of
+        # 15.75G — an HBM limit, NOT the r4-suspected Mosaic scoped-vmem
+        # clamp, which tools/vmem_probe.py now measures at ~98 MB) — the
+        # remat row keeps large batches running instead of failing
+        ("fused-remat", fused, B, True),
         ("fused-2B", fused, 2 * B, False),
     ]
     results = {}
     for name, c, b, remat in variants:
         flops = train_step_flops(c, b, n_local_crops=args.local_crops,
                                  local_size_px=96)
-        secs = bench_step(c, b, args.local_crops, remat=remat)
+        try:
+            secs = bench_step(c, b, args.local_crops, remat=remat)
+        except Exception as e:  # HBM OOM at this geometry: report, go on
+            msg = str(e)
+            kind = ("HBM OOM" if "memory" in msg or "RESOURCE" in msg
+                    else "failed")
+            print(f"{name:11s} B={b}  {kind}: {msg.splitlines()[0][:100]}",
+                  flush=True)
+            continue
         tflops = flops / secs / 1e12
         mfu = flops / secs / V5E_PEAK_BF16
         results[name] = flops / secs
-        print(f"{name:10s} B={b}  {secs * 1e3:9.1f} ms/step "
+        print(f"{name:11s} B={b}  {secs * 1e3:9.1f} ms/step "
               f"{tflops:6.1f} TFLOP/s   MFU {mfu:.1%}", flush=True)
-    base = results["xla-remat"]
-    best = max(results["fused"], results["fused-2B"])
-    print(f"speedup vs XLA-remat baseline: {best / base:.2f}x")
+    base = results.get("xla-remat")
+    fused_rates = [v for k, v in results.items() if k.startswith("fused")]
+    if base and fused_rates:
+        print(f"speedup vs XLA-remat baseline: {max(fused_rates) / base:.2f}x")
 
 
 if __name__ == "__main__":
