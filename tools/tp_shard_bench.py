@@ -108,12 +108,18 @@ def main():
             out = g(p_norm, p_attn_l, p_fc, p_mlp_l, cls, x)
             np.asarray(jax.tree.leaves(out)[0])  # honest sync
             t0 = time.time()
-            outs = [g(p_norm, p_attn_l, p_fc, p_mlp_l, cls, x)
-                    for _ in range(args.dispatches)]
-            np.asarray(jax.tree.leaves(outs[-1])[0])
+            for _ in range(args.dispatches):
+                out = g(p_norm, p_attn_l, p_fc, p_mlp_l, cls, x)
+                # sync EVERY dispatch: queueing 8 un-synced grad programs
+                # over-subscribes this chip's tight HBM (temp buffers per
+                # in-flight program) and kills the worker — measured; the
+                # per-readback tunnel latency (~40 ms) is included, so
+                # rates are a lower bound
+                np.asarray(jax.tree.leaves(out)[0])
             dt = (time.time() - t0) / args.dispatches * 1e3
             print(f"tp={args.tp} shard {name:5s} {mode:7s}: "
-                  f"{dt:7.1f} ms/block-phase-set", flush=True)
+                  f"{dt:7.1f} ms/block-phase-set (per-dispatch sync)",
+                  flush=True)
 
 
 if __name__ == "__main__":
