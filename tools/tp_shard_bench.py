@@ -27,6 +27,12 @@ def main():
     p.add_argument("--batch", type=int, default=4, help="global-crop B*2")
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--dispatches", type=int, default=8)
+    p.add_argument("--only", default="",
+                   help="run ONE variant (fused-fwd|fused-bwd|xla-fwd|"
+                        "xla-bwd) — this chip's HBM is tight enough that "
+                        "executables+buffers accumulated across variants "
+                        "in one process crash the worker; a driver script "
+                        "runs the four invocations separately")
     args = p.parse_args()
 
     from dino_video_summarization_transformer_tpu.utils.cache import (
@@ -105,6 +111,9 @@ def main():
         fwd = jax.jit(fn)
         grad = jax.jit(jax.grad(fn, argnums=(1, 3)))
         for mode, g in (("fwd", fwd), ("fwd+bwd", grad)):
+            tag = f"{name}-{'bwd' if 'bwd' in mode else 'fwd'}"
+            if args.only and tag != args.only:
+                continue
             out = g(p_norm, p_attn_l, p_fc, p_mlp_l, cls, x)
             np.asarray(jax.tree.leaves(out)[0])  # honest sync
             t0 = time.time()
