@@ -99,6 +99,14 @@ def get_args_parser():
                         "params over the mesh model axis (parallel/tp.py, "
                         "Megatron pairing); the data axis gets the "
                         "remaining devices. Plain trainer variant only.")
+    p.add_argument("--tp_fused", default=False, type=bool_flag,
+                   help="With --model_parallel: run the fused Pallas "
+                        "kernels on head shards (parallel/tp_fused.py — "
+                        "per-shard forward 3.7x the XLA TP path). OPT-IN: "
+                        "the combined partial backward intermittently "
+                        "crashed the bench tunnel's TPU worker (BENCH.md "
+                        "r5 TP section); equivalence is pinned on the "
+                        "virtual mesh (tests/test_tp_fused.py).")
     p.add_argument("--zero1", default=False, type=bool_flag,
                    help="ZeRO-1: shard the Adam moments over the data axis "
                         "(parallel/zero.py); params stay replicated. "
@@ -305,18 +313,21 @@ def train_svt(args):
     # fused kernels run per-device full-width — tensor/pipeline/sequence
     # parallelism are XLA-path features (parallel/*.py docstrings)
     fuse = should_fuse(compute_dtype) and group == 1
-    # r5: --model_parallel now runs the fused kernels on HEAD SHARDS
-    # (parallel/tp_fused.py) — the r4 "TP forces XLA" cliff is closed for
-    # TP; pipeline/sequence parallelism remain XLA-path features.
-    fuse_tp = (should_fuse(compute_dtype) and args.model_parallel > 1
+    # r5: --model_parallel can run the fused kernels on HEAD SHARDS
+    # (parallel/tp_fused.py — per-shard forward measured 3.7x the XLA TP
+    # path's). OPT-IN via --tp_fused: the combined three-phase partial
+    # BACKWARD crashed the bench tunnel's TPU worker intermittently
+    # (every phase and 2-/3-phase grad combination passes in dedicated
+    # runs — recorded in BENCH.md), so the hardened default stays XLA.
+    fuse_tp = (args.tp_fused and should_fuse(compute_dtype)
+               and args.model_parallel > 1
                and mcfg.num_heads % args.model_parallel == 0
                and not two_token and not (two_stream or rand_fr))
     if should_fuse(compute_dtype) and group > 1 and not fuse_tp:
-        print("WARNING: --pipeline/--seq_parallel (and --model_parallel "
-              "sizes that do not divide the head count) force the XLA "
-              "block path — the fused Pallas kernels (the ~2x train-step "
-              "MFU tier, BENCH.md) run full-width or head-sharded only.",
-              flush=True)
+        print("NOTE: --model_parallel/--pipeline/--seq_parallel run the "
+              "XLA block path by default; --model_parallel with "
+              "--tp_fused opts into the head-sharded fused kernels "
+              "(parallel/tp_fused.py, caveat in BENCH.md).", flush=True)
     if fuse and pretrained_backbone is not None:
         # converted real checkpoints must clear the fused kernels'
         # softmax-clamp guard (auto-fallback to XLA with a logged reason)
